@@ -1,0 +1,209 @@
+"""ViT forward graph — a single jit-compiled functional program.
+
+This is the TPU-native redesign of the reference's torch module tree
+(reference vit/vit.py:203-247: Embeddings -> Encoder -> final LayerNorm).
+Key departures, all TPU/XLA-idiomatic rather than translations:
+
+- **Functional params pytree** instead of ``nn.Module`` state: the whole
+  forward is one traced program; there is no per-op dispatch (the reference
+  pays ~1,100 kernel launches per forward, SURVEY.md §3.2 — here it is one
+  XLA executable, subsuming its planned CUDA-graph fix, reference README.md:28).
+- **Stacked layer parameters + ``lax.scan``** over the encoder depth instead
+  of a Python loop over 12 module objects (reference vit/vit.py:167-169):
+  compile time is O(1) in depth and XLA pipelines the layers.
+- **Fused full-width QKV** ``(D, 3D)`` matmul and batched multi-head
+  attention instead of the reference's Python loop over 12 single-head
+  modules with slice-assign (reference vit/vit.py:101-106) — head
+  parallelism becomes an MXU batch dimension.
+- **Patch embedding as unfold+matmul** instead of the scalar-loop conv2d
+  (reference vit/kernels/conv2d.py, its slowest kernel — SURVEY.md §6).
+
+Numerical semantics are kept bit-compatible with the reference / HF ViT:
+pre-LN blocks, LN eps 1e-12 inside the sqrt, exact erf-GELU, fp32
+accumulation in every matmul, CLS + learned position embeddings, final LN,
+no pooler (output (B, 197, 768) for B/16, like HF
+``ViTModel(add_pooling_layer=False)`` — reference vit/vit.py:273).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu import ops
+from vit_tpu.config import ViTConfig
+
+Params = dict[str, Any]
+
+
+def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Random-initialized params pytree (HF-style truncated-normal 0.02).
+
+    Encoder leaves are stacked along a leading ``num_layers`` axis for
+    ``lax.scan``.
+    """
+    d, l, m = cfg.hidden_dim, cfg.num_layers, cfg.mlp_dim
+    keys = iter(jax.random.split(key, 16))
+    dt = cfg.dtype
+
+    def tn(k, shape, std=0.02):
+        return (jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+                * std).astype(dt)
+
+    params: Params = {
+        "embeddings": {
+            "cls_token": tn(next(keys), (1, 1, d)),
+            "position_embeddings": tn(next(keys), (1, cfg.seq_len, d)),
+            "patch_embed": {
+                "kernel": tn(next(keys), (cfg.patch_dim, d)),
+                "bias": jnp.zeros((d,), dt),
+            },
+        },
+        "encoder": {
+            "ln1": {"scale": jnp.ones((l, d), dt), "bias": jnp.zeros((l, d), dt)},
+            "qkv": {"kernel": tn(next(keys), (l, d, 3 * d)),
+                    "bias": jnp.zeros((l, 3 * d), dt)},
+            "out": {"kernel": tn(next(keys), (l, d, d)),
+                    "bias": jnp.zeros((l, d), dt)},
+            "ln2": {"scale": jnp.ones((l, d), dt), "bias": jnp.zeros((l, d), dt)},
+            "fc1": {"kernel": tn(next(keys), (l, d, m)),
+                    "bias": jnp.zeros((l, m), dt)},
+            "fc2": {"kernel": tn(next(keys), (l, m, d)),
+                    "bias": jnp.zeros((l, d), dt)},
+        },
+        "ln_final": {"scale": jnp.ones((d,), dt), "bias": jnp.zeros((d,), dt)},
+    }
+    if cfg.num_classes:
+        params["classifier"] = {
+            "kernel": tn(next(keys), (d, cfg.num_classes)),
+            "bias": jnp.zeros((cfg.num_classes,), dt),
+        }
+    return params
+
+
+def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
+          impl: str | None = None) -> jax.Array:
+    """Patch-embed + CLS + position embeddings (reference vit/vit.py:173-200).
+
+    ``pixels``: (B, C, H, W) NCHW, any float dtype -> (B, seq_len, D).
+    """
+    b, c, h, w = pixels.shape
+    assert (c, h, w) == (cfg.num_channels, cfg.image_size, cfg.image_size), (
+        pixels.shape, cfg)
+    e = params["embeddings"]
+    x = ops.patch_embed(pixels.astype(cfg.dtype), e["patch_embed"]["kernel"],
+                        e["patch_embed"]["bias"], cfg.patch_size, impl=impl)
+    cls = jnp.broadcast_to(e["cls_token"].astype(cfg.dtype), (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + e["position_embeddings"].astype(cfg.dtype)
+
+
+def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
+                  impl: str | None = None,
+                  attention: str = "flash") -> jax.Array:
+    """One pre-LN transformer block (reference vit/vit.py:114-149).
+
+    ``lp`` holds this layer's slice of the stacked encoder params.
+    """
+    b, s, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layernorm_eps
+
+    h = ops.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps, impl=impl)
+    qkv = ops.matmul(h, lp["qkv"]["kernel"], lp["qkv"]["bias"], impl=impl)
+    qkv = qkv.reshape(b, s, 3, nh, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,S,hd)
+
+    if attention == "flash":
+        ctx = ops.flash_attention(q, k, v, scale=hd ** -0.5, impl=impl)
+    elif attention == "unfused":
+        # The reference's exact op chain, batched over heads: QK^T/sqrt(d)
+        # via matmul3 -> softmax -> matmul3 (reference vit/vit.py:66-72).
+        qf = q.reshape(b * nh, s, hd)
+        kf = k.reshape(b * nh, s, hd)
+        vf = v.reshape(b * nh, s, hd)
+        scores = ops.matmul3(qf, kf.transpose(0, 2, 1), scale=hd ** -0.5, impl=impl)
+        probs = ops.softmax(scores, impl=impl)
+        ctx = ops.matmul3(probs, vf, impl=impl).reshape(b, nh, s, hd)
+    else:
+        raise ValueError(f"unknown attention mode {attention!r}")
+
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn_out = ops.matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"], impl=impl)
+    x = ops.add(attn_out, x, impl=impl)  # residual 1 (reference vit/vit.py:140)
+
+    h = ops.layernorm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=eps, impl=impl)
+    h = ops.matmul(h, lp["fc1"]["kernel"], lp["fc1"]["bias"], "gelu", impl=impl)
+    h = ops.matmul(h, lp["fc2"]["kernel"], lp["fc2"]["bias"], impl=impl)
+    return ops.add(h, x, impl=impl)      # residual 2 (reference vit/vit.py:147)
+
+
+def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
+            impl: str | None = None,
+            attention: str = "flash") -> jax.Array:
+    """Full ViT forward (reference vit/vit.py:240-247).
+
+    Returns, per ``cfg``:
+    - hidden states (B, seq_len, D)      — ``pooling="none"``, no classes
+      (the reference's only mode);
+    - pooled embedding (B, D)            — ``pooling="cls" | "mean"``;
+    - logits (B, num_classes)            — ``num_classes > 0``.
+    """
+    x = embed(params, pixels, cfg, impl=impl)
+
+    def body(x, lp):
+        return encoder_block(x, lp, cfg, impl=impl, attention=attention), None
+
+    x, _ = jax.lax.scan(body, x, params["encoder"])
+    x = ops.layernorm(x, params["ln_final"]["scale"], params["ln_final"]["bias"],
+                      eps=cfg.layernorm_eps, impl=impl)
+
+    if cfg.num_classes:
+        pooled = x[:, 0] if cfg.pooling in ("none", "cls") else jnp.mean(x, axis=1)
+        c = params["classifier"]
+        return ops.matmul(pooled[:, None, :], c["kernel"], c["bias"],
+                          impl=impl)[:, 0]
+    if cfg.pooling == "cls":
+        return x[:, 0]
+    if cfg.pooling == "mean":
+        return jnp.mean(x, axis=1)
+    return x
+
+
+def forward_with_intermediates(params: Params, pixels: jax.Array,
+                               cfg: ViTConfig, *, impl: str | None = None,
+                               attention: str = "flash"):
+    """Forward pass that also returns every layer's hidden states.
+
+    The per-layer capture underlying the parity harness — the functional
+    equivalent of the reference's forward hooks on every named module
+    (reference 02_verifying_layer_outputs.ipynb cell 6). Returns
+    ``(final, hiddens)`` where ``hiddens`` is a list of length
+    ``num_layers + 1``: the embedding output followed by each encoder
+    block's output (pre-final-LN) — the same convention as HF
+    ``ViTModel(..., output_hidden_states=True)``.
+    """
+    x = embed(params, pixels, cfg, impl=impl)
+
+    def body(x, lp):
+        y = encoder_block(x, lp, cfg, impl=impl, attention=attention)
+        return y, y
+
+    final, layer_outs = jax.lax.scan(body, x, params["encoder"])
+    hiddens = [x] + [layer_outs[i] for i in range(cfg.num_layers)]
+    final = ops.layernorm(final, params["ln_final"]["scale"],
+                          params["ln_final"]["bias"],
+                          eps=cfg.layernorm_eps, impl=impl)
+    return final, hiddens
+
+
+def make_forward(cfg: ViTConfig, *, impl: str | None = None,
+                 attention: str = "flash", jit: bool = True):
+    """Bind config/impl and (optionally) jit — one fixed-shape executable per
+    batch size, the reference's planned "fix all tensor sizes + CUDA graphs"
+    optimization (reference README.md:28-29) for free."""
+    fn = functools.partial(forward, cfg=cfg, impl=impl, attention=attention)
+    return jax.jit(fn) if jit else fn
