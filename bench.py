@@ -1,0 +1,105 @@
+"""End-to-end benchmark: ViT-B/16 forward throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the reference repo's own published numbers (BASELINE.md) put the
+HF PyTorch GPU baseline at 80.3 ms for bs=32 on a 3080 Ti (= 398.5 img/s) —
+the bar BASELINE.json says to beat; the reference's Triton path itself is
+slower (104.8 ms). ``vs_baseline`` is ours / 398.5 (higher is better).
+
+Timing uses the chained-scan slope method (see vit_tpu/utils/timing.py):
+each iteration's input is data-dependent on the previous output, N1- and
+N2-long chains run inside one jit, and the per-forward time is the slope —
+this cancels the tunneled platform's ~25 ms fixed RPC overhead and the fact
+that ``block_until_ready`` does not block on the experimental axon PJRT
+plugin. Extra detail (latency, batch sweep) goes to stderr; stdout carries
+exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models.vit import forward, init_params
+from vit_tpu.utils.timing import bench_chained
+
+HF_GPU_BS32_IMG_PER_SEC = 32 / 0.0803  # BASELINE.md: HF 80.3 ms @ bs=32
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def model_ms(cfg: ViTConfig, batch: int, *, impl: str | None = None,
+             attention: str = "flash", reps: int = 5) -> float:
+    """Steady-state per-forward milliseconds."""
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal(
+        (batch, 3, cfg.image_size, cfg.image_size)), cfg.dtype)
+
+    def step(c):
+        # Perturb the input by c*1e-30 (a live data dependency the compiler
+        # cannot fold; numerically a no-op) and reduce the output to the
+        # next carry so every chained forward is real and serialized.
+        x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
+        out = forward(params, x, cfg, impl=impl, attention=attention)
+        return jnp.mean(out).astype(jnp.float32)
+
+    return bench_chained(step, reps=reps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--impl", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--attention", default="flash", choices=["flash", "unfused"])
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also run the reference's batch sweep to stderr")
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = ViTConfig(dtype=dtype)
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} | backend: {jax.default_backend()} | "
+        f"dtype: {args.dtype} | impl: {args.impl or 'auto'}")
+
+    # Headline: bs=32 throughput (BASELINE.json metric).
+    ms = model_ms(cfg, args.batch, impl=args.impl, attention=args.attention,
+                  reps=args.reps)
+    ips = args.batch / (ms / 1e3)
+    log(f"bs={args.batch}: {ms:.3f} ms/forward -> {ips:.1f} img/s "
+        f"(reference Triton bs=32: 104.8 ms, HF GPU: 80.3 ms)")
+
+    # Secondary: single-image steady-state latency.
+    l1 = model_ms(cfg, 1, impl=args.impl, attention=args.attention,
+                  reps=args.reps)
+    log(f"bs=1: {l1:.3f} ms/forward "
+        f"(reference Triton: 70.9 ms, HF GPU: 4.7 ms)")
+
+    if args.sweep:
+        for b in [1, 2, 4, 8, 16, 24, 32, 48, 64]:
+            s = model_ms(cfg, b, impl=args.impl, attention=args.attention,
+                         reps=args.reps)
+            log(f"  sweep bs={b:3d}: {s:8.3f} ms  {b / (s / 1e3):9.1f} img/s")
+
+    print(json.dumps({
+        "metric": f"vit_b16_images_per_sec_bs{args.batch}_{args.dtype}",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / HF_GPU_BS32_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

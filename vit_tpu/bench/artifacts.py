@@ -1,0 +1,66 @@
+"""Benchmark artifact writer — reference-format Performance.csv / .png.
+
+The reference emits ``benchmarks/<kernel>/Performance.{csv,png}`` per kernel
+via ``triton.testing.perf_report`` (e.g. reference vit/kernels/add.py:139-181)
+and ``benchmarks/model/benchmark_vit.csv`` for the end-to-end sweep
+(reference vit/vit.py:296-327). This module reproduces that artifact layout
+so results are apples-to-apples comparable.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Sequence
+
+
+def write_perf_report(name: str, rows: Sequence[dict], *,
+                      x_key: str, y_keys: Sequence[str],
+                      y_label: str = "ms",
+                      out_root: str = "benchmarks") -> str:
+    """Write ``<out_root>/<name>/Performance.csv`` (+ ``.png`` when
+    matplotlib is available). Returns the directory written."""
+    out_dir = os.path.join(out_root, name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    keys = [x_key] + [k for k in rows[0] if k != x_key]
+    csv_path = os.path.join(out_dir, "Performance.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return out_dir
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    xs = [r[x_key] for r in rows]
+    for yk in y_keys:
+        ax.plot(xs, [r[yk] for r in rows], marker="o", label=yk)
+    ax.set_xlabel(x_key)
+    ax.set_ylabel(y_label)
+    ax.set_title(name)
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.savefig(os.path.join(out_dir, "Performance.png"),
+                bbox_inches="tight", dpi=110)
+    plt.close(fig)
+    return out_dir
+
+
+def selftest(name: str, got, want, *, atol: float, rtol: float = 0.0) -> None:
+    """Print-and-assert allclose check — the reference's per-kernel
+    ``__main__`` verification pattern (e.g. reference vit/kernels/matmul.py:159-192)."""
+    import numpy as np
+
+    got = np.asarray(got, dtype=np.float32)
+    want = np.asarray(want, dtype=np.float32)
+    diff = np.abs(got - want).max()
+    ok = np.allclose(got, want, atol=atol, rtol=rtol)
+    print(f"[{name}] max-abs-diff={diff:.3e} atol={atol:g} "
+          f"{'PASSED' if ok else 'FAILED'}")
+    assert ok, f"{name} self-test failed: max-abs-diff {diff}"

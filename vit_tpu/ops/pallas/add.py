@@ -1,0 +1,93 @@
+"""Elementwise add kernel.
+
+TPU-native equivalent of reference vit/kernels/add.py:31-104 (elementwise
+``(B,N,D)+(B,N,D)``, identical shapes, no broadcasting). Differences by
+design: the input is viewed as a 2-D row matrix (batch is not a separate
+grid axis — on TPU it's just more rows for the VPU), blocks are sized to
+VMEM instead of autotuned over 18 configs (reference add.py:7-29), and edge
+blocks are handled by Pallas' masked stores instead of explicit bounds
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.common import as_rows, cdiv, pick_row_block
+
+
+def _add_kernel(x_ref, y_ref, o_ref):
+    o_ref[:] = x_ref[:] + y_ref[:]
+
+
+def add(x: jax.Array, y: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """``x + y`` for identically-shaped arrays of any rank."""
+    assert x.shape == y.shape, (x.shape, y.shape)
+    assert x.dtype == y.dtype, (x.dtype, y.dtype)
+    xf, restore = as_rows(x)
+    yf, _ = as_rows(y)
+    m, d = xf.shape
+    bm = pick_row_block(m, d * x.dtype.itemsize, dtype=x.dtype)
+
+    out = pl.pallas_call(
+        _add_kernel,
+        grid=(cdiv(m, bm),),
+        in_specs=[pl.BlockSpec((bm, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        interpret=interpret,
+    )(xf, yf)
+    return restore(out)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    from vit_tpu.bench.artifacts import selftest, write_perf_report
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="add kernel self-test + bench")
+    ap.add_argument("-B", type=int, default=4)
+    ap.add_argument("-N", type=int, default=197)
+    ap.add_argument("-D", type=int, default=768)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.B, args.N, args.D)), dt)
+    y = jnp.asarray(rng.standard_normal((args.B, args.N, args.D)), dt)
+    got = add(x, y, interpret=interpret_mode())
+    selftest("add", got, reference.add(x, y), atol=1e-6 if dt == jnp.float32 else 1e-2)
+
+    if args.bench:
+        rows = []
+        for n in [256, 512, 1024, 2048, 4096]:
+            a = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
+            b = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
+
+            def mk(fn):
+                def step(c):
+                    out = fn(a * (1 + c * 1e-30).astype(dt), b)
+                    return jnp.mean(out).astype(jnp.float32)
+                return step
+
+            pal = bench_chained(mk(lambda u, v: add(u, v)))
+            xla = bench_chained(mk(reference.add))
+            gbps = 3 * args.B * n * args.D * dt.itemsize / 1e9
+            rows.append({"N": n, "pallas_ms": pal, "xla_ms": xla,
+                         "pallas_gbps": gbps / (pal / 1e3),
+                         "xla_gbps": gbps / (xla / 1e3)})
+            print(rows[-1])
+        write_perf_report("add", rows, x_key="N",
+                          y_keys=["pallas_gbps", "xla_gbps"], y_label="GB/s")

@@ -1,0 +1,185 @@
+"""Fused linear matmul kernel: ``(..., K) @ (K, N) + bias`` with optional
+fused GELU epilogue.
+
+TPU-native equivalent of reference vit/kernels/matmul.py:40-156 (the
+workhorse behind every Linear layer: fp32 accumulator, fused bias at
+matmul.py:100-102, fused erf-GELU at matmul.py:104-106). Design departures:
+
+- **Batch is flattened into rows.** The reference grids over (B, M-, N-tiles)
+  because torch hands it a 3-D tensor; a shared-weight batched matmul *is* a
+  2-D matmul, and flattening (B,197,K) to (6304,K) turns 197-row ragged
+  tiles into full MXU tiles.
+- **K is a sequential grid axis with a VMEM fp32 accumulator** (the standard
+  Pallas TPU matmul pipeline) instead of an in-kernel K loop; Mosaic
+  double-buffers the HBM->VMEM streams automatically.
+- **No autotune**: block sizes follow from VMEM capacity and MXU shape
+  (the reference searches 25 configs per shape, reference matmul.py:10-39).
+- **L2 swizzling** (reference matmul.py:69) has no TPU analogue — there is
+  no L2 to swizzle for; grid order already streams W tiles optimally.
+
+K is zero-padded to the lane multiple when unaligned (e.g. H/14's 588-wide
+patch vectors) — zeros contribute nothing to the accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.activations import gelu
+from vit_tpu.ops.pallas.common import cdiv, min_sublanes, pad_dim, round_up
+
+
+def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk: int,
+                   activation: str | None, has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        r = acc_ref[:]
+        if has_bias:
+            r = r + b_ref[:].astype(jnp.float32)
+        if activation == "gelu":
+            r = gelu(r)
+        o_ref[:] = r.astype(o_ref.dtype)
+
+
+def _pick_blocks(m: int, n: int, k: int, itemsize: int):
+    """(bm, bn, bk) sized for the MXU with ~<8MB of VMEM live."""
+    bm = min(512, round_up(m, 128))
+    bn = min(512, round_up(n, 128))
+    bk = min(1024, k)
+    # Live VMEM ~ 2*(bm*bk + bk*bn)*itemsize (double-buffered streams)
+    # + bm*bn*4 (accumulator) + bm*bn*itemsize (output).
+    while 2 * (bm * bk + bk * bn) * itemsize + bm * bn * (4 + itemsize) > 8 * 2**20:
+        if bk > 512:
+            bk //= 2
+        elif bm >= bn and bm > 128:
+            bm //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    return bm, bn, bk
+
+
+def matmul(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+           activation: str | None = None, *,
+           interpret: bool = False) -> jax.Array:
+    """``x @ w (+ bias) (-> gelu)`` where ``x`` is (..., K), ``w`` is (K, N)."""
+    assert x.shape[-1] == w.shape[0], (x.shape, w.shape)
+    if activation not in (None, "gelu"):
+        raise ValueError(f"unknown activation {activation!r}")
+    *lead, k = x.shape
+    n = w.shape[1]
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+
+    # Zero-pad unaligned K (see module docstring).
+    xf, _ = pad_dim(xf, 1, 128)
+    wp, _ = pad_dim(w, 0, 128)
+    kp = xf.shape[1]
+
+    bm, bn, bk = _pick_blocks(m, n, kp, x.dtype.itemsize)
+    nk = cdiv(kp, bk)
+    has_bias = bias is not None
+    b2d = (bias if has_bias else jnp.zeros((), x.dtype)).reshape(1, -1) \
+        if has_bias else jnp.zeros((1, n), x.dtype)
+
+    kernel = functools.partial(_matmul_kernel, nk=nk, activation=activation,
+                               has_bias=has_bias)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm), cdiv(n, bn), nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kp,
+            bytes_accessed=(m * kp + kp * n + m * n) * x.dtype.itemsize,
+            transcendentals=m * n if activation == "gelu" else 0),
+        interpret=interpret,
+    )(xf, wp, b2d)
+    return out.reshape(*lead, n)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    from vit_tpu.bench.artifacts import selftest, write_perf_report
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="matmul self-test + bench")
+    ap.add_argument("-B", type=int, default=4)
+    ap.add_argument("-M", type=int, default=197)
+    ap.add_argument("-K", type=int, default=768)
+    ap.add_argument("-N", type=int, default=3072)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.B, args.M, args.K)) * 0.1, dt)
+    w = jnp.asarray(rng.standard_normal((args.K, args.N)) * 0.1, dt)
+    b = jnp.asarray(rng.standard_normal(args.N) * 0.1, dt)
+    ip = interpret_mode()
+    # Reference tolerances: matmul 1e-1 (reference matmul.py:159-192) — ours
+    # are tighter because both sides accumulate fp32.
+    atol = 1e-3 if dt == jnp.float32 else 5e-2
+    selftest("matmul", matmul(x, w, interpret=ip), reference.matmul(x, w),
+             atol=atol)
+    selftest("matmul+bias", matmul(x, w, b, interpret=ip),
+             reference.matmul(x, w, b), atol=atol)
+    selftest("matmul+bias+gelu", matmul(x, w, b, "gelu", interpret=ip),
+             reference.matmul(x, w, b, "gelu"), atol=atol)
+
+    if args.bench:
+        rows = []
+        for size in [512, 1024, 1792, 2560, 4096]:
+            a = jnp.asarray(rng.standard_normal((1, size, size)) * 0.1, dt)
+            ww = jnp.asarray(rng.standard_normal((size, size)) * 0.1, dt)
+
+            def mk(fn):
+                def step(c):
+                    out = fn(a * (1 + c * 1e-30).astype(dt), ww)
+                    return jnp.mean(out).astype(jnp.float32)
+                return step
+
+            pal = bench_chained(mk(lambda u, v: matmul(u, v)))
+            xla = bench_chained(mk(reference.matmul))
+            tflops = 2 * size ** 3 / 1e12
+            rows.append({"MNK": size, "pallas_ms": pal, "xla_ms": xla,
+                         "pallas_tflops": tflops / (pal / 1e3),
+                         "xla_tflops": tflops / (xla / 1e3)})
+            print(rows[-1])
+        write_perf_report("matmul", rows, x_key="MNK",
+                          y_keys=["pallas_tflops", "xla_tflops"],
+                          y_label="TFLOP/s")

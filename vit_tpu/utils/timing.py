@@ -1,11 +1,21 @@
 """Timing + benchmark harness (reference vit/utils.py:136-191).
 
 The reference times with CUDA events + ``torch.cuda.synchronize`` (``timed``)
-and a 25-warmup / 100-rep median loop (``benchmark``). The TPU equivalents:
-``jax.block_until_ready`` for the sync boundary, an explicit warmup that also
-absorbs XLA compilation (the analogue of Triton autotune's first-call cost,
-reference vit/kernels/matmul.py:10-39), and median-of-reps with quantiles
-matching ``triton.testing.do_bench`` (0.5/0.2/0.8).
+and a 25-warmup / 100-rep median loop (``benchmark``). On TPU the sync
+boundary is ``jax.block_until_ready`` — but on experimental tunneled
+platforms (this container's 'axon' PJRT plugin) ``block_until_ready`` does
+not actually block, and every host<->device round trip costs ~25 ms of RPC
+latency. Two harnesses handle this honestly:
+
+- :func:`do_bench` — wall-clock of one synced call (sync via ``device_get``
+  of a scalar, which always works). Includes the fixed dispatch/RPC
+  overhead; fine for comparing like with like, matches the reference's
+  protocol (``triton.testing.do_bench`` medians, quantiles 0.5/0.2/0.8).
+- :func:`bench_chained` — steady-state per-iteration time: run the step
+  N1 and N2 times *inside one jitted ``lax.scan``* (each iteration data-
+  dependent on the last so XLA cannot hoist it), ``device_get`` a scalar,
+  and take the slope (T(N2)-T(N1))/(N2-N1). Fixed overhead cancels; this
+  is the number that reflects what the chip actually does per forward.
 """
 
 from __future__ import annotations
@@ -14,7 +24,16 @@ import time
 from typing import Callable, Iterable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _sync(out) -> None:
+    """Force completion: block_until_ready + fetch one scalar to the host
+    (the latter is what actually blocks on tunneled platforms)."""
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
 
 
 def timed(fn: Callable, *args, **kwargs):
@@ -24,27 +43,63 @@ def timed(fn: Callable, *args, **kwargs):
     """
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) * 1e3
 
 
-def do_bench(fn: Callable, *, warmup: int = 25, reps: int = 100,
+def do_bench(fn: Callable, *, warmup: int = 10, reps: int = 30,
              quantiles=(0.5, 0.2, 0.8)) -> tuple[float, ...]:
-    """Median (+ quantile) wall-clock ms of ``fn()`` — the role
-    ``triton.testing.do_bench`` plays in every reference kernel ``__main__``."""
+    """Median (+ quantile) wall-clock ms of one synced ``fn()`` call — the
+    role ``triton.testing.do_bench`` plays in every reference kernel
+    ``__main__``. Includes fixed dispatch overhead; see module docstring."""
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     times = np.empty(reps)
     for i in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         times[i] = (time.perf_counter() - t0) * 1e3
     return tuple(float(np.quantile(times, q)) for q in quantiles)
 
 
+def bench_chained(step: Callable[[jax.Array], jax.Array], *,
+                  lengths: tuple[int, int] = (2, 12), reps: int = 5,
+                  warmup: int = 2) -> float:
+    """Steady-state per-iteration milliseconds of ``step``.
+
+    ``step``: traced fn (fp32 scalar carry) -> (fp32 scalar carry). It must
+    consume the carry in a way the compiler cannot fold (e.g. perturb an
+    input by ``carry * 1e-30``) and produce a scalar derived from its real
+    output, so every iteration is live and serialized.
+    """
+    def build(n: int):
+        @jax.jit
+        def g(c0):
+            def body(c, _):
+                return step(c), None
+            c, _ = jax.lax.scan(body, c0, None, length=n)
+            return c
+        return g
+
+    t = {}
+    c0 = jnp.float32(0.0)
+    for n in lengths:
+        g = build(n)
+        for _ in range(warmup):
+            jax.device_get(g(c0))  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(g(c0))
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    n1, n2 = lengths
+    return (t[n2] - t[n1]) / (n2 - n1) * 1e3
+
+
 def benchmark_sweep(make_fns: Callable[[int], dict[str, Callable]],
-                    sizes: Iterable[int], *, warmup: int = 25,
-                    reps: int = 100):
+                    sizes: Iterable[int], *, warmup: int = 10,
+                    reps: int = 30):
     """Sweep a size axis comparing named implementations, yielding rows.
 
     The generator shape of reference vit/utils.py:136-178 ``benchmark``:
