@@ -1,0 +1,179 @@
+"""Fused multi-head attention (flash) kernel.
+
+The op the reference planned but never built (reference README.md:27 "Add
+Flash attn — this should significantly improve the time"): its model runs
+per-head ``matmul3 -> softmax -> matmul3`` with the (B,197,197) score matrix
+round-tripping through HBM (reference vit/vit.py:66-72). This kernel fuses
+the whole chain: scores are produced tile-by-tile in VMEM, reduced with the
+online-softmax recurrence (running max ``m``, running normalizer ``l``,
+unnormalized accumulator — the FlashAttention-2 formulation: normalize once
+at the end), and only the (S, head_dim) context ever leaves the core.
+
+Layout: (B, H, S, d) with batch*heads flattened into one parallel grid axis
+(the reference serializes heads in a Python loop, reference vit/vit.py:101-106;
+here they are just more grid parallelism). K/V are tiled along a sequential
+grid axis, so sequence length is bounded by HBM, not VMEM — this is what
+makes L/16-384 (577 tokens) and beyond run in O(block) memory (SURVEY.md §5
+"long-context": the reference's softmax requires a row per SRAM block).
+
+Sequences are zero-padded to the K-tile multiple; padded key columns are
+masked to -inf before the online update (exact — they contribute
+exp(-inf)=0), and padded query rows are discarded by Pallas' masked stores.
+No attention mask / dropout, like the reference (TODO at vit/vit.py:43).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.common import cdiv, pad_dim, round_up
+
+_NEG_INF = float("-inf")
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, seq_len: int, block_k: int, nk: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # (bq, d)
+    k = k_ref[0]                       # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    # Mask padded key columns (global kv index >= seq_len) to -inf. Static
+    # gate: only needed when seq_len is not a tile multiple (K/V are
+    # zero-padded in the launcher, so reads themselves are defined).
+    if seq_len % block_k != 0:
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)          # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                              # (bq, bk) fp32
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float | None = None,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool = False) -> jax.Array:
+    """Softmax(q @ k^T * scale) @ v for (B, H, S, d) operands."""
+    assert q.shape == k.shape == v.shape, (q.shape, k.shape, v.shape)
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+
+    bq = min(block_q, round_up(s, 128))
+    bk = min(block_k, round_up(s, 128))
+    qf = q.reshape(b * h, s, d)
+    kf, _ = pad_dim(k.reshape(b * h, s, d), 1, bk)
+    vf, _ = pad_dim(v.reshape(b * h, s, d), 1, bk)
+    nk = kf.shape[1] // bk
+
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
+                               block_k=bk, nk=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, cdiv(s, bq), nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),   # running max m
+            pltpu.VMEM((bq, 1), jnp.float32),   # running normalizer l
+            pltpu.VMEM((bq, d), jnp.float32),   # unnormalized accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * s),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, d)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    from vit_tpu.bench.artifacts import selftest, write_perf_report
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="flash attention self-test + bench")
+    ap.add_argument("-B", type=int, default=2)
+    ap.add_argument("-H", type=int, default=12)
+    ap.add_argument("-S", type=int, default=197)
+    ap.add_argument("-d", type=int, default=64)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    shape = (args.B, args.H, args.S, args.d)
+    q = jnp.asarray(rng.standard_normal(shape), dt)
+    k = jnp.asarray(rng.standard_normal(shape), dt)
+    v = jnp.asarray(rng.standard_normal(shape), dt)
+    got = flash_attention(q, k, v, interpret=interpret_mode())
+    want = reference.attention(q, k, v)
+    selftest("flash_attention", got, want,
+             atol=2e-5 if dt == jnp.float32 else 2e-2)
+
+    if args.bench:
+        rows = []
+        for s in [197, 257, 577, 1024, 2048]:
+            sh = (args.B, args.H, s, args.d)
+            qq = jnp.asarray(rng.standard_normal(sh), dt)
+            kk = jnp.asarray(rng.standard_normal(sh), dt)
+            vv = jnp.asarray(rng.standard_normal(sh), dt)
+
+            def mk(fn):
+                def step(c):
+                    out = fn(qq * (1 + c * 1e-30).astype(dt), kk, vv)
+                    return jnp.mean(out).astype(jnp.float32)
+                return step
+
+            pal = bench_chained(mk(lambda a, b2, c2: flash_attention(a, b2, c2)))
+            xla = bench_chained(mk(reference.attention))
+            tflops = 4 * args.B * args.H * s * s * args.d / 1e12
+            rows.append({"S": s, "pallas_ms": pal, "xla_ms": xla,
+                         "pallas_tflops": tflops / (pal / 1e3),
+                         "xla_tflops": tflops / (xla / 1e3)})
+            print(rows[-1])
+        write_perf_report("flash_attention", rows, x_key="S",
+                          y_keys=["pallas_tflops", "xla_tflops"],
+                          y_label="TFLOP/s")

@@ -1,0 +1,142 @@
+"""Both-operands-batched matmul kernel: ``(B,M,K) @ (B,K,N)`` with fused
+scalar scaling.
+
+TPU-native equivalent of reference vit/kernels/matmul3.py:40-156 (the
+attention-score/context matmul with fused ``1/sqrt(d)`` scaling at
+matmul3.py:105-106). Same pipeline as the linear matmul but with a true
+batch grid axis (both operands are batched, so rows cannot be flattened)
+and a scale epilogue. Unaligned K (e.g. the 197-long contraction in
+``attn @ V``) is zero-padded in the launcher.
+
+Note: in the production model path this kernel only serves the
+``attention='unfused'`` parity mode — the flash-attention kernel
+(vit_tpu/ops/pallas/attention.py) fuses the whole score->softmax->context
+chain and never materializes (B,197,197) scores in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.common import cdiv, pad_dim
+from vit_tpu.ops.pallas.matmul import _pick_blocks
+
+
+def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
+                    scale: float | None):
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[0], y_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        r = acc_ref[:]
+        if scale is not None:
+            r = r * scale
+        o_ref[0] = r.astype(o_ref.dtype)
+
+
+def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
+            interpret: bool = False) -> jax.Array:
+    """``(x @ y) * scale`` for x (B,M,K), y (B,K,N)."""
+    assert x.ndim == y.ndim == 3 and x.shape[0] == y.shape[0], (x.shape, y.shape)
+    assert x.shape[-1] == y.shape[-2], (x.shape, y.shape)
+    b, m, k = x.shape
+    n = y.shape[-1]
+
+    xp, _ = pad_dim(x, 2, 128)
+    yp, _ = pad_dim(y, 1, 128)
+    kp = xp.shape[2]
+
+    bm, bn, bk = _pick_blocks(m, n, kp, x.dtype.itemsize)
+    nk = cdiv(kp, bk)
+
+    kernel = functools.partial(_matmul3_kernel, nk=nk, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, cdiv(m, bm), cdiv(n, bn), nk),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda bb, i, j, kk: (bb, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn), lambda bb, i, j, kk: (bb, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j, kk: (bb, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m * n * kp,
+            bytes_accessed=b * (m * kp + kp * n + m * n) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, yp)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    from vit_tpu.bench.artifacts import selftest, write_perf_report
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="matmul3 self-test + bench")
+    ap.add_argument("-B", type=int, default=48)   # B*H for B/16 @ bs=4
+    ap.add_argument("-M", type=int, default=197)
+    ap.add_argument("-K", type=int, default=64)
+    ap.add_argument("-N", type=int, default=197)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.B, args.M, args.K)) * 0.3, dt)
+    y = jnp.asarray(rng.standard_normal((args.B, args.K, args.N)) * 0.3, dt)
+    ip = interpret_mode()
+    # Reference tolerance: matmul3 atol=1e-2 rtol=0 (reference matmul3.py:159-196).
+    atol = 1e-3 if dt == jnp.float32 else 5e-2
+    selftest("matmul3", matmul3(x, y, interpret=ip),
+             reference.matmul3(x, y), atol=atol)
+    selftest("matmul3+scale", matmul3(x, y, scale=0.125, interpret=ip),
+             reference.matmul3(x, y, scale=0.125), atol=atol)
+
+    if args.bench:
+        rows = []
+        for s in [128, 197, 256, 512, 577]:
+            a = jnp.asarray(rng.standard_normal((args.B, s, 64)) * 0.3, dt)
+            bb = jnp.asarray(rng.standard_normal((args.B, 64, s)) * 0.3, dt)
+
+            def mk(fn):
+                def step(c):
+                    out = fn(a * (1 + c * 1e-30).astype(dt), bb)
+                    return jnp.mean(out).astype(jnp.float32)
+                return step
+
+            pal = bench_chained(mk(lambda u, v: matmul3(u, v, scale=0.125)))
+            xla = bench_chained(mk(lambda u, v: reference.matmul3(u, v, scale=0.125)))
+            tflops = 2 * args.B * s * s * 64 / 1e12
+            rows.append({"S": s, "pallas_ms": pal, "xla_ms": xla,
+                         "pallas_tflops": tflops / (pal / 1e3),
+                         "xla_tflops": tflops / (xla / 1e3)})
+            print(rows[-1])
+        write_perf_report("matmul3", rows, x_key="S",
+                          y_keys=["pallas_tflops", "xla_tflops"],
+                          y_label="TFLOP/s")

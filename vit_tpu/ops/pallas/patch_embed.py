@@ -1,0 +1,86 @@
+"""Patch-embedding "convolution" as unfold + fused matmul.
+
+TPU-native replacement for reference vit/kernels/conv2d.py:19-167 — the
+reference's slowest kernel by far (a scalar loop over output columns and
+channels with no tensor-core use; its own benchmarks show 5-20 GB/s vs
+torch's 40-85, SURVEY.md §6, and its roadmap targets exactly this
+unfold+matmul rewrite, reference README.md:26).
+
+The unfold is a pure layout transformation left to XLA (it fuses the
+transpose into the matmul operand stream); the projection itself is the
+Pallas fused-linear matmul, putting all patch-embed FLOPs on the MXU. For
+ViT-B/16 at 224px this is a (B*196, 768) @ (768, 768) matmul — MXU-shaped
+by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from vit_tpu.ops.pallas.matmul import matmul
+from vit_tpu.ops.reference import patchify as _patchify_xla
+
+
+def patch_embed(x: jax.Array, w: jax.Array, bias: jax.Array | None,
+                patch_size: int, *, interpret: bool = False) -> jax.Array:
+    """(B, C, H, W) images -> (B, N, D) patch embeddings.
+
+    ``w``: (C*P*P, D) — the HF conv weight (D, C, P, P) flattened in
+    (channel, kh, kw) order and transposed (see vit_tpu/weights/hf.py).
+    """
+    patches = _patchify_xla(x, patch_size)
+    return matmul(patches, w, bias, interpret=interpret)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    import jax.numpy as jnp
+    from vit_tpu.bench.artifacts import selftest, write_perf_report
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="patch_embed self-test + bench")
+    ap.add_argument("-B", type=int, default=2)
+    ap.add_argument("-H", type=int, default=224)
+    ap.add_argument("-P", type=int, default=16)
+    ap.add_argument("-D", type=int, default=768)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    c = 3
+    x = jnp.asarray(rng.standard_normal((args.B, c, args.H, args.H)), dt)
+    w = jnp.asarray(rng.standard_normal((c * args.P ** 2, args.D)) * 0.05, dt)
+    b = jnp.asarray(rng.standard_normal(args.D) * 0.05, dt)
+    got = patch_embed(x, w, b, args.P, interpret=interpret_mode())
+    want = reference.patch_embed(x, w, b, args.P)
+    selftest("patch_embed", got, want,
+             atol=1e-3 if dt == jnp.float32 else 5e-2)
+
+    if args.bench:
+        rows = []
+        for bsz in [1, 8, 32, 64]:
+            xx = jnp.asarray(rng.standard_normal((bsz, c, args.H, args.H)), dt)
+
+            def mk(fn):
+                def step(cc):
+                    out = fn(xx * (1 + cc * 1e-30).astype(dt), w, b, args.P)
+                    return jnp.mean(out).astype(jnp.float32)
+                return step
+
+            pal = bench_chained(mk(lambda u, ww, bb2, p: patch_embed(u, ww, bb2, p)))
+            xla = bench_chained(mk(reference.patch_embed))
+            n = (args.H // args.P) ** 2
+            gb = (bsz * n * (c * args.P ** 2 + args.D) * dt.itemsize) / 1e9
+            rows.append({"B": bsz, "pallas_ms": pal, "xla_ms": xla,
+                         "pallas_gbps": gb / (pal / 1e3),
+                         "xla_gbps": gb / (xla / 1e3)})
+            print(rows[-1])
+        write_perf_report("patch_embed", rows, x_key="B",
+                          y_keys=["pallas_gbps", "xla_gbps"], y_label="GB/s")
