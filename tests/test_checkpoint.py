@@ -1,0 +1,76 @@
+"""Checkpoint save/load + safetensors import (SURVEY.md §5 aux subsystem)."""
+
+import jax
+import numpy as np
+import pytest
+import torch
+import transformers
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.weights import checkpoint as ckpt
+from vit_tpu.weights import config_from_hf
+
+SMALL = ViTConfig(image_size=32, patch_size=16, hidden_dim=48, num_heads=4,
+                  num_layers=2, mlp_dim=96)
+
+
+def _tree_equal(a, b):
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b)[0]):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_save_load_roundtrip(tmp_path):
+    params = vit.init_params(jax.random.key(0), SMALL)
+    path = str(tmp_path / "ckpt" / "b16")
+    ckpt.save_params(path, params, SMALL)
+    loaded, cfg = ckpt.load_params(path)
+    assert cfg == SMALL
+    _tree_equal(params, loaded)
+
+
+def test_load_or_convert_caches(tmp_path):
+    calls = []
+
+    def convert():
+        calls.append(1)
+        return vit.init_params(jax.random.key(0), SMALL), SMALL
+
+    path = str(tmp_path / "cache")
+    p1, _ = ckpt.load_or_convert(path, convert)
+    p2, _ = ckpt.load_or_convert(path, convert)
+    assert len(calls) == 1  # second load hits the cache
+    _tree_equal(p1, p2)
+
+
+def test_params_from_safetensors_matches_torch_path(tmp_path):
+    from safetensors.torch import save_file as save_torch
+
+    hf_cfg = transformers.ViTConfig(
+        hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=96, image_size=32, patch_size=16)
+    torch.manual_seed(0)
+    hf = transformers.ViTModel(hf_cfg, add_pooling_layer=False)
+    st = str(tmp_path / "model.safetensors")
+    save_torch({k: v.contiguous() for k, v in hf.state_dict().items()}, st)
+
+    cfg = config_from_hf(hf_cfg)
+    from vit_tpu.weights import params_from_hf
+    want = params_from_hf(hf, cfg)
+    got = ckpt.params_from_safetensors(st, cfg)
+    _tree_equal(want, got)
+
+
+def test_loaded_params_run(tmp_path, rng):
+    params = vit.init_params(jax.random.key(0), SMALL)
+    path = str(tmp_path / "run")
+    ckpt.save_params(path, params, SMALL)
+    loaded, cfg = ckpt.load_params(path)
+    px = np.asarray(rng.standard_normal((1, 3, 32, 32)), np.float32)
+    import jax.numpy as jnp
+    a = vit.forward(params, jnp.asarray(px), cfg)
+    b = vit.forward(loaded, jnp.asarray(px), cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

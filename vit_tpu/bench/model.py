@@ -1,0 +1,84 @@
+"""End-to-end model benchmark sweep (reference vit/vit.py:296-327).
+
+Runs the reference's batch-size sweep [1,2,4,8,16,24,32,48,64] on the
+flagship ViT-B/16 (or any variant) and writes ``benchmarks/model/
+Performance.csv`` + ``.png`` in the reference's artifact layout, with the
+reference's own published GPU numbers (BASELINE.md) as comparison columns.
+
+Run: ``python -m vit_tpu.bench.model [--variant B/16] [--dtype bfloat16]
+[--impl xla|pallas]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.bench.artifacts import write_perf_report
+from vit_tpu.config import VARIANTS
+from vit_tpu.models.vit import forward, init_params
+from vit_tpu.utils.timing import bench_chained
+
+#: The reference's published end-to-end ms (3080 Ti, fp32) — BASELINE.md.
+REFERENCE_MS = {
+    1: {"triton_gpu": 70.9, "hf_gpu": 4.7},
+    8: {"triton_gpu": 69.6, "hf_gpu": 21.0},
+    16: {"triton_gpu": 71.9, "hf_gpu": 43.2},
+    32: {"triton_gpu": 104.8, "hf_gpu": 80.3},
+    64: {"triton_gpu": 260.6, "hf_gpu": 161.5},
+}
+
+BATCH_SWEEP = [1, 2, 4, 8, 16, 24, 32, 48, 64]
+
+
+def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
+          impl: str | None = None, attention: str = "flash",
+          batches=BATCH_SWEEP, reps: int = 5):
+    cfg = VARIANTS[variant].replace(dtype=dtype)
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    rows = []
+    for b in batches:
+        px = jnp.asarray(rng.standard_normal(
+            (b, 3, cfg.image_size, cfg.image_size)), cfg.dtype)
+
+        def step(c):
+            x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
+            out = forward(params, x, cfg, impl=impl, attention=attention)
+            return jnp.mean(out).astype(jnp.float32)
+
+        ms = bench_chained(step, reps=reps)
+        row = {"batch": b, "tpu_ms": round(ms, 3),
+               "tpu_img_per_s": round(b / (ms / 1e3), 1)}
+        row.update(REFERENCE_MS.get(b, {}))
+        rows.append(row)
+        print(row, flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="B/16", choices=sorted(VARIANTS))
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--impl", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--attention", default="flash",
+                    choices=["flash", "unfused"])
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rows = sweep(args.variant, dtype, args.impl, args.attention,
+                 reps=args.reps)
+    name = "model" if args.variant == "B/16" else \
+        f"model_{args.variant.replace('/', '_')}"
+    out = write_perf_report(name, rows, x_key="batch",
+                            y_keys=["tpu_ms"], y_label="ms")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,17 +9,21 @@ online-softmax recurrence (running max ``m``, running normalizer ``l``,
 unnormalized accumulator — the FlashAttention-2 formulation: normalize once
 at the end), and only the (S, head_dim) context ever leaves the core.
 
-Layout: (B, H, S, d) with batch*heads flattened into one parallel grid axis
-(the reference serializes heads in a Python loop, reference vit/vit.py:101-106;
-here they are just more grid parallelism). K/V are tiled along a sequential
-grid axis, so sequence length is bounded by HBM, not VMEM — this is what
-makes L/16-384 (577 tokens) and beyond run in O(block) memory (SURVEY.md §5
-"long-context": the reference's softmax requires a row per SRAM block).
+Layout: (B, H, S, d) with batch*heads flattened (the reference serializes
+heads in a Python loop, reference vit/vit.py:101-106; here they are just
+more grid parallelism). Like the batched matmul3, the batch*heads axis
+lives in the block *index arithmetic*, not the block shape: Q/K/V are
+viewed as 2-D row matrices with each (batch, head) segment padded to a tile
+boundary, so every block Mosaic sees is a plain 2-D tile. K/V are tiled
+along a sequential grid axis, so sequence length is bounded by HBM, not
+VMEM — this is what makes L/16-384 (577 tokens) and beyond run in O(block)
+memory (SURVEY.md §5: the reference's softmax needs a whole row per SRAM
+block).
 
-Sequences are zero-padded to the K-tile multiple; padded key columns are
-masked to -inf before the online update (exact — they contribute
-exp(-inf)=0), and padded query rows are discarded by Pallas' masked stores.
-No attention mask / dropout, like the reference (TODO at vit/vit.py:43).
+Padded key columns are masked to -inf before the online update (exact —
+they contribute exp(-inf)=0); padded query rows are sliced off after the
+call. No attention mask / dropout, like the reference (TODO at
+reference vit/vit.py:43).
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.common import cdiv, pad_dim, round_up
+from vit_tpu.ops.pallas.common import round_up
 
 _NEG_INF = float("-inf")
 
@@ -46,14 +50,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                       # (bq, d)
-    k = k_ref[0]                       # (bk, d)
+    q = q_ref[:]                       # (bq, d)
+    k = k_ref[:]                       # (bk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
     # Mask padded key columns (global kv index >= seq_len) to -inf. Static
-    # gate: only needed when seq_len is not a tile multiple (K/V are
-    # zero-padded in the launcher, so reads themselves are defined).
+    # gate: only needed when seq_len is not a tile multiple (K/V rows are
+    # zero-padded in the launcher, so the reads themselves are defined).
     if seq_len % block_k != 0:
         col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < seq_len, s, _NEG_INF)
@@ -66,12 +70,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -86,27 +90,35 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     bq = min(block_q, round_up(s, 128))
     bk = min(block_k, round_up(s, 128))
-    qf = q.reshape(b * h, s, d)
-    kf, _ = pad_dim(k.reshape(b * h, s, d), 1, bk)
-    vf, _ = pad_dim(v.reshape(b * h, s, d), 1, bk)
-    nk = kf.shape[1] // bk
+    sq, sk = round_up(s, bq), round_up(s, bk)
+    bh = b * h
+
+    def rows(x, sp):  # (B,H,S,d) -> (B*H*Sp, d), zero-padded per segment
+        x = x.reshape(bh, s, d)
+        if sp != s:
+            x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        return x.reshape(bh * sp, d)
+
+    qf, kf, vf = rows(q, sq), rows(k, sk), rows(v, sk)
+    qb, kb = sq // bq, sk // bk  # tiles per (batch, head) segment
+    nk = kb
 
     kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
                                block_k=bk, nk=nk)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, cdiv(s, bq), nk),
+        grid=(bh, qb, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0),
+            pl.BlockSpec((bq, d), lambda g, qi, ki: (g * qb + qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((bk, d), lambda g, qi, ki: (g * kb + ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((bk, d), lambda g, qi, ki: (g * kb + ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0),
+        out_specs=pl.BlockSpec((bq, d), lambda g, qi, ki: (g * qb + qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh * sq, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),   # running max m
             pltpu.VMEM((bq, 1), jnp.float32),   # running normalizer l
@@ -120,6 +132,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             transcendentals=b * h * s * s),
         interpret=interpret,
     )(qf, kf, vf)
+    out = out.reshape(bh, sq, d)
+    if sq != s:
+        out = out[:, :s]
     return out.reshape(b, h, s, d)
 
 

@@ -57,19 +57,36 @@ def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk: int,
 
 
 def _pick_blocks(m: int, n: int, k: int, itemsize: int):
-    """(bm, bn, bk) sized for the MXU with ~<8MB of VMEM live."""
+    """(bm, bn, bk) sized for the MXU with ~<6MB of VMEM live.
+
+    The budget is deliberately conservative: Mosaic double-buffers the in/out
+    streams on top of the accumulator, and configs near the VMEM ceiling
+    (e.g. 512x512x768 fp32) send its allocator into pathological compile
+    times on v5e.
+    """
     bm = min(512, round_up(m, 128))
     bn = min(512, round_up(n, 128))
-    bk = min(1024, k)
+
+    def bk_for(cap: int) -> int:
+        # bk MUST divide k exactly (k is pre-padded to a 128 multiple by the
+        # launcher): a partial K tile would accumulate out-of-bounds garbage
+        # — unlike M/N edges, K edges are NOT masked away by the store.
+        for cand in range(min(cap, k) // 128 * 128, 127, -128):
+            if k % cand == 0:
+                return cand
+        return 128
+
+    bk = bk_for(512)
     # Live VMEM ~ 2*(bm*bk + bk*bn)*itemsize (double-buffered streams)
-    # + bm*bn*4 (accumulator) + bm*bn*itemsize (output).
-    while 2 * (bm * bk + bk * bn) * itemsize + bm * bn * (4 + itemsize) > 8 * 2**20:
-        if bk > 512:
-            bk //= 2
-        elif bm >= bn and bm > 128:
+    # + bm*bn*4 (accumulator) + 2*bm*bn*itemsize (double-buffered output).
+    while (2 * (bm * bk + bk * bn) * itemsize
+           + bm * bn * (4 + 2 * itemsize)) >= 6 * 2**20:
+        if bm >= bn and bm > 128:
             bm //= 2
         elif bn > 128:
             bn //= 2
+        elif bk > 128:
+            bk = bk_for(bk - 128)
         else:
             break
     return bm, bn, bk
@@ -93,7 +110,8 @@ def matmul(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     kp = xf.shape[1]
 
     bm, bn, bk = _pick_blocks(m, n, kp, x.dtype.itemsize)
-    nk = cdiv(kp, bk)
+    assert kp % bk == 0, (kp, bk)  # K edges must never be partial
+    nk = kp // bk
     has_bias = bias is not None
     b2d = (bias if has_bias else jnp.zeros((), x.dtype)).reshape(1, -1) \
         if has_bias else jnp.zeros((1, n), x.dtype)

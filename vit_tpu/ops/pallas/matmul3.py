@@ -3,10 +3,12 @@ scalar scaling.
 
 TPU-native equivalent of reference vit/kernels/matmul3.py:40-156 (the
 attention-score/context matmul with fused ``1/sqrt(d)`` scaling at
-matmul3.py:105-106). Same pipeline as the linear matmul but with a true
-batch grid axis (both operands are batched, so rows cannot be flattened)
-and a scale epilogue. Unaligned K (e.g. the 197-long contraction in
-``attn @ V``) is zero-padded in the launcher.
+matmul3.py:105-106). Same K-sequential fp32-accumulator pipeline as the
+linear matmul, with the batch axis folded into the *block index arithmetic*
+rather than the block shape: operands are viewed as 2-D row matrices
+(batch-padded so every batch starts on a block boundary) and the index maps
+pick each batch's tile — all blocks stay 2-D, which is what Mosaic tiles
+(and compiles) best on v5e.
 
 Note: in the production model path this kernel only serves the
 ``attention='unfused'`` parity mode — the flash-attention kernel
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vit_tpu.ops.pallas.common import cdiv, pad_dim
+from vit_tpu.ops.pallas.common import cdiv, pad_dim, round_up
 from vit_tpu.ops.pallas.matmul import _pick_blocks
 
 
@@ -36,7 +38,7 @@ def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[0], y_ref[0], (((1,), (0,)), ((), ())),
+        x_ref[:], y_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
@@ -44,7 +46,7 @@ def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
         r = acc_ref[:]
         if scale is not None:
             r = r * scale
-        o_ref[0] = r.astype(o_ref.dtype)
+        o_ref[:] = r.astype(o_ref.dtype)
 
 
 def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
@@ -55,26 +57,33 @@ def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
     b, m, k = x.shape
     n = y.shape[-1]
 
-    xp, _ = pad_dim(x, 2, 128)
-    yp, _ = pad_dim(y, 1, 128)
-    kp = xp.shape[2]
-
+    kp = round_up(k, 128)
     bm, bn, bk = _pick_blocks(m, n, kp, x.dtype.itemsize)
-    nk = cdiv(kp, bk)
+    assert kp % bk == 0, (kp, bk)  # K edges must never be partial
+    nk = kp // bk
+
+    # Pad M and K to block multiples, then flatten batch into rows: every
+    # batch starts on a block boundary, so 2-D index arithmetic addresses
+    # each batch's tiles exactly (zero-padded K contributes nothing).
+    mp = round_up(m, bm)
+    xp = jnp.pad(x, ((0, 0), (0, mp - m), (0, kp - k))).reshape(b * mp, kp)
+    yp, _ = pad_dim(y, 1, bk)
+    yp = yp.reshape(b * kp, n)
+    mb, kb = mp // bm, kp // bk  # blocks per batch along M / K
 
     kernel = functools.partial(_matmul3_kernel, nk=nk, scale=scale)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, cdiv(m, bm), cdiv(n, bn), nk),
+        grid=(b, mb, cdiv(n, bn), nk),
         in_specs=[
-            pl.BlockSpec((1, bm, bk), lambda bb, i, j, kk: (bb, i, kk),
+            pl.BlockSpec((bm, bk), lambda bb, i, j, kk: (bb * mb + i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, bn), lambda bb, i, j, kk: (bb, kk, j),
+            pl.BlockSpec((bk, bn), lambda bb, i, j, kk: (bb * kb + kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bm, bn), lambda bb, i, j, kk: (bb, i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda bb, i, j, kk: (bb * mb + i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * mp, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -85,6 +94,8 @@ def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
             transcendentals=0),
         interpret=interpret,
     )(xp, yp)
+    out = out.reshape(b, mp, n)
+    return out[:, :m] if mp != m else out
 
 
 if __name__ == "__main__":

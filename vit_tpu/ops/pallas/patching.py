@@ -5,14 +5,18 @@ TPU-native equivalent of reference vit/kernels/patching.py:7-105:
 (channel, row, col). The reference hardcodes C=3 with separate R/G/B loads
 (reference patching.py:37-39); here channels are generic.
 
-One program per (image, patch-row): the block is the (C, P, W) slab holding
-one full row of patches, and the rearrangement is expressed as an in-VMEM
-reshape/transpose that Mosaic lowers to its relayout primitives. Note this
-op is pure data movement — in the model path the unfold is left to XLA
-(vit_tpu/ops/reference.py:patchify) and fused into the embedding matmul's
-operand load (see vit_tpu/ops/pallas/patch_embed.py); this standalone kernel
-mirrors the reference's library surface, where it is likewise exported but
-unused by the model (no call sites in reference vit/vit.py — SURVEY.md §2.1).
+Formulation: both arrays are viewed as 2-D (images as scanline rows, output
+as patch rows) and the grid walks (batch, channel, patch-row); each program
+reads the (P, W) scanline slab of one patch-row/channel and writes the
+(Wp, P*P) column stripe of the corresponding output rows — a blocked
+transpose done in VMEM. All blocks are plain 2-D tiles.
+
+Note this op is pure data movement — in the model path the unfold is left
+to XLA (vit_tpu/ops/reference.py:patchify) and fused into the embedding
+matmul's operand stream (see vit_tpu/ops/pallas/patch_embed.py); this
+standalone kernel mirrors the reference's library surface, where it is
+likewise exported but unused by the model (no call sites in reference
+vit/vit.py — SURVEY.md §2.1).
 """
 
 from __future__ import annotations
@@ -26,12 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _patching_kernel(x_ref, o_ref, *, patch: int):
-    c, p, w = x_ref.shape[1:]
+    p, w = x_ref.shape
     wp = w // patch
-    r = x_ref[0]                          # (C, P, W)
-    r = r.reshape(c, p, wp, patch)        # split W into patches
-    r = r.transpose(2, 0, 1, 3)           # (Wp, C, P, P)
-    o_ref[0] = r.reshape(wp, c * p * patch)
+    r = x_ref[:]                          # (P, W) scanline slab
+    r = r.reshape(p, wp, patch)           # split W into patches
+    r = r.transpose(1, 0, 2)              # (Wp, P, P)
+    o_ref[:] = r.reshape(wp, p * patch)
 
 
 def patchify(x: jax.Array, patch_size: int, *,
@@ -41,18 +45,24 @@ def patchify(x: jax.Array, patch_size: int, *,
     p = patch_size
     assert h % p == 0 and w % p == 0, (x.shape, p)
     hp, wp = h // p, w // p
+    n = hp * wp
+
+    x2d = x.reshape(b * c * hp * p, w)     # scanline rows (free reshape)
 
     kernel = functools.partial(_patching_kernel, patch=p)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, hp),
-        in_specs=[pl.BlockSpec((1, c, p, w), lambda bb, i: (bb, 0, i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, wp, c * p * p), lambda bb, i: (bb, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp * wp, c * p * p), x.dtype),
+        grid=(b, c, hp),
+        in_specs=[pl.BlockSpec(
+            (p, w), lambda bb, cc, i: ((bb * c + cc) * hp + i, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (wp, p * p), lambda bb, cc, i: (bb * hp + i, cc),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n, c * p * p), x.dtype),
         interpret=interpret,
-    )(x)
+    )(x2d)
+    return out.reshape(b, n, c * p * p)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""Checkpoint save/load for converted params.
+
+The reference has no save path of its own — its only persistence is the
+one-way HF->custom transfer re-run on every process start (SURVEY.md §5
+"Checkpoint/resume: import-only"). Here converted params are first-class:
+
+- :func:`save_params` / :func:`load_params` — the framework's own format:
+  one ``.safetensors`` file of flattened leaves + a tiny JSON config
+  sidecar. Loads are zero-copy-ish (numpy-mapped) and go through the same
+  zero-scan verification as HF imports.
+- :func:`params_from_safetensors` — import weights straight from an HF
+  ``model.safetensors`` file (the on-disk layout of every modern HF
+  checkpoint) without instantiating a torch model.
+- :func:`load_or_convert` — the cache pattern: convert from HF once, reuse
+  the converted artifact afterwards (the reference re-splits q/k/v on every
+  run, reference vit/utils.py:45-113).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models.vit import Params
+from vit_tpu.weights.hf import params_from_state_dict, verify_params
+
+_SEP = "::"
+
+
+def _flatten(params: Params) -> dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        out[key] = np.asarray(jax.device_get(leaf))
+    return out
+
+
+def _unflatten(flat: Mapping[str, np.ndarray], dtype) -> Params:
+    params: dict = {}
+    for key, arr in flat.items():
+        node = params
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr, dtype)
+    return params
+
+
+def save_params(path: str, params: Params, cfg: ViTConfig) -> None:
+    """Write ``<path>.safetensors`` + ``<path>.json`` (config sidecar)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    save_file(_flatten(params), path + ".safetensors")
+    meta = dataclasses.asdict(cfg)
+    meta["dtype"] = jnp.dtype(cfg.dtype).name
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_params(path: str) -> tuple[Params, ViTConfig]:
+    """Load a :func:`save_params` artifact; verified with the zero-scan."""
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    meta["dtype"] = jnp.dtype(meta["dtype"])
+    cfg = ViTConfig(**meta)
+    params = _unflatten(load_file(path + ".safetensors"), cfg.dtype)
+    verify_params(params)
+    return params, cfg
+
+
+def params_from_safetensors(st_path: str, cfg: ViTConfig) -> Params:
+    """Import an HF ``model.safetensors`` checkpoint file directly.
+
+    Same mapping/verification as :func:`vit_tpu.weights.params_from_hf`, no
+    torch required.
+    """
+    return params_from_state_dict(load_file(st_path), cfg)
+
+
+def load_or_convert(cache_path: str, convert: Callable[[], tuple[Params, ViTConfig]]
+                    ) -> tuple[Params, ViTConfig]:
+    """Load the converted-params cache, or build + populate it."""
+    if os.path.exists(cache_path + ".safetensors"):
+        return load_params(cache_path)
+    params, cfg = convert()
+    save_params(cache_path, params, cfg)
+    return params, cfg
