@@ -1,0 +1,48 @@
+"""Fixed-shape batch serving (reference README.md:28-29 roadmap items)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.serving import Predictor
+
+CFG = ViTConfig(image_size=32, patch_size=16, hidden_dim=48, num_heads=4,
+                num_layers=2, mlp_dim=96)
+
+
+@pytest.fixture(scope="module")
+def pred():
+    params = vit.init_params(jax.random.key(0), CFG)
+    return Predictor(params, CFG, buckets=(1, 2, 4))
+
+
+def test_plan_decomposition(pred):
+    assert pred._plan(4) == [4]
+    assert pred._plan(7) == [4, 2, 1]
+    assert pred._plan(3) == [2, 1]
+    assert pred._plan(5) == [4, 1]
+    # tail that fits no exact bucket rounds up to the smallest that fits
+    p = Predictor(pred.params, CFG, buckets=(4, 16))
+    assert p._plan(3) == [4]
+    assert p._plan(21) == [16, 4, 4]
+
+
+@pytest.mark.parametrize("n", [1, 3, 5, 7])
+def test_outputs_match_direct_forward(pred, n, rng):
+    px = rng.standard_normal((n, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(pred(px))
+    want = np.asarray(vit.forward(pred.params, jnp.asarray(px), CFG))
+    assert got.shape == (n, CFG.seq_len, CFG.hidden_dim)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_padding_images_do_not_leak(pred, rng):
+    # Same image must produce identical output whether padded or not.
+    px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    single = np.asarray(pred(px))
+    padded_batch = np.asarray(pred(np.concatenate([px] * 3)))  # plan [2, 1]
+    np.testing.assert_allclose(single[0], padded_batch[0], atol=1e-5)
+    np.testing.assert_allclose(single[0], padded_batch[2], atol=1e-5)
