@@ -72,7 +72,11 @@ def main(argv=None) -> int:
     ap.add_argument("--impl", default=None, choices=["xla", "pallas"])
     ap.add_argument("--attention", default="flash",
                     choices=["flash", "unfused"])
-    ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--tol", type=float, default=None,
+                    help="default 1e-3; 1e-2 with --ones (constant weights "
+                         "make rows near-identical, so the final LN divides "
+                         "by a tiny std and amplifies benign fp noise — the "
+                         "reference notebook used atol=1.0 there, cell 10)")
     ap.add_argument("--ones", action="store_true",
                     help="constant-weight structural-debug mode "
                          "(reference notebook 02 cells 15-18)")
@@ -104,6 +108,9 @@ def main(argv=None) -> int:
         print("note: no checkpoint given — using random-init HF oracle "
               "(identical mapping path)")
     hf.eval()
+
+    if args.tol is None:
+        args.tol = 1e-2 if args.ones else 1e-3
 
     if args.ones:
         sd = hf.state_dict()
