@@ -42,3 +42,20 @@ def test_linear_value_matches_forward(rng):
     np.testing.assert_allclose(
         np.asarray(linear(x, w, b, "gelu", True)),
         np.asarray(R.matmul(x, w, b, "gelu")), atol=1e-5)
+
+
+def test_ops_matmul_pallas_dispatch_is_differentiable(rng):
+    from vit_tpu import ops
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 24)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(24), jnp.float32)
+
+    def loss(w):
+        return jnp.sum(ops.matmul(x, w, b, "gelu", impl="pallas"))
+
+    def loss_ref(w):
+        return jnp.sum(ops.matmul(x, w, b, "gelu", impl="xla"))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(w)),
+                               np.asarray(jax.grad(loss_ref)(w)), atol=2e-4)

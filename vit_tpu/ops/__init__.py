@@ -50,11 +50,15 @@ def softmax(x, *, impl=None, interpret=None):
 
 
 def matmul(x, w, bias=None, activation=None, *, impl=None, interpret=None):
-    """(B,M,K)@(K,N) + fused bias + fused GELU (reference vit/kernels/matmul.py)."""
+    """(B,M,K)@(K,N) + fused bias + fused GELU (reference vit/kernels/matmul.py).
+
+    The pallas path goes through the custom-VJP wrapper, so ``jax.grad``
+    works on it transparently (vit_tpu/ops/pallas/vjp.py).
+    """
     if resolve_impl(impl) == "xla":
         return reference.matmul(x, w, bias, activation)
-    from vit_tpu.ops.pallas import matmul as _k
-    return _k.matmul(x, w, bias, activation, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.linear(x, w, bias, activation, interpret_mode(interpret))
 
 
 def matmul3(x, y, *, scale=None, impl=None, interpret=None):
