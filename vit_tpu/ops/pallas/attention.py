@@ -36,12 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.pallas.common import round_up
+from vit_tpu.ops.pallas.matmul import _dot_precision
 
 _NEG_INF = float("-inf")
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, seq_len: int, block_k: int, nk: int):
+                  scale: float, seq_len: int, block_k: int, nk: int,
+                  precision):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -53,7 +55,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     q = q_ref[:]                       # (bq, d)
     k = k_ref[:]                       # (bk, d)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=precision) * scale
 
     # Mask padded key columns (global kv index >= seq_len) to -inf. Static
     # gate: only needed when seq_len is not a tile multiple (K/V rows are
@@ -71,7 +74,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -104,7 +107,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     nk = kb
 
     kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
-                               block_k=bk, nk=nk)
+                               block_k=bk, nk=nk,
+                               precision=_dot_precision(q.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(bh, qb, nk),

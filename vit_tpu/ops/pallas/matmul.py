@@ -34,8 +34,19 @@ from vit_tpu.ops.pallas.activations import gelu
 from vit_tpu.ops.pallas.common import cdiv, min_sublanes, pad_dim, round_up
 
 
+def _dot_precision(dtype):
+    """fp32 operands multiply at HIGHEST precision (true fp32 via multi-pass
+    bf16 on the MXU): ``preferred_element_type`` only fixes the *accumulator*
+    dtype — without this, fp32 inputs are multiplied in single-pass bf16
+    (measured max-abs-err 0.29 vs 1.9e-5 on a 197x768x768 product), which
+    breaks the reference's fp32 semantics (reference vit/kernels/matmul.py:92
+    uses tf32-or-better). bf16 inputs keep the native fast path."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk: int,
-                   activation: str | None, has_bias: bool):
+                   activation: str | None, has_bias: bool, precision):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -44,7 +55,7 @@ def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk: int,
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(k == nk - 1)
     def _():
@@ -117,7 +128,8 @@ def matmul(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         if has_bias else jnp.zeros((1, n), x.dtype)
 
     kernel = functools.partial(_matmul_kernel, nk=nk, activation=activation,
-                               has_bias=has_bias)
+                               has_bias=has_bias,
+                               precision=_dot_precision(x.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(m, bm), cdiv(n, bn), nk),

@@ -26,11 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.pallas.common import cdiv, pad_dim, round_up
-from vit_tpu.ops.pallas.matmul import _pick_blocks
+from vit_tpu.ops.pallas.matmul import _dot_precision, _pick_blocks
 
 
 def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
-                    scale: float | None):
+                    scale: float | None, precision):
     k = pl.program_id(3)
 
     @pl.when(k == 0)
@@ -39,7 +39,7 @@ def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
 
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:], y_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(k == nk - 1)
     def _():
@@ -71,7 +71,8 @@ def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
     yp = yp.reshape(b * kp, n)
     mb, kb = mp // bm, kp // bk  # blocks per batch along M / K
 
-    kernel = functools.partial(_matmul3_kernel, nk=nk, scale=scale)
+    kernel = functools.partial(_matmul3_kernel, nk=nk, scale=scale,
+                               precision=_dot_precision(x.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(b, mb, cdiv(n, bn), nk),

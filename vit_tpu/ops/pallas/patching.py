@@ -5,11 +5,12 @@ TPU-native equivalent of reference vit/kernels/patching.py:7-105:
 (channel, row, col). The reference hardcodes C=3 with separate R/G/B loads
 (reference patching.py:37-39); here channels are generic.
 
-Formulation: both arrays are viewed as 2-D (images as scanline rows, output
-as patch rows) and the grid walks (batch, channel, patch-row); each program
-reads the (P, W) scanline slab of one patch-row/channel and writes the
-(Wp, P*P) column stripe of the corresponding output rows — a blocked
-transpose done in VMEM. All blocks are plain 2-D tiles.
+Formulation: both arrays are viewed 2-D (images as scanline rows, output as
+patch rows) and the grid walks (batch, channel). Each program loads one
+image channel's (H, W) scanline block, rearranges it in VMEM to the
+(N, P*P) patch rows (a blocked transpose), and writes that channel's column
+stripe of the output. Output rows are padded per image to a sublane
+multiple (Mosaic requires block rows % 8 == 0) and sliced off afterwards.
 
 Note this op is pure data movement — in the model path the unfold is left
 to XLA (vit_tpu/ops/reference.py:patchify) and fused into the embedding
@@ -28,14 +29,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vit_tpu.ops.pallas.common import round_up
 
-def _patching_kernel(x_ref, o_ref, *, patch: int):
-    p, w = x_ref.shape
-    wp = w // patch
-    r = x_ref[:]                          # (P, W) scanline slab
-    r = r.reshape(p, wp, patch)           # split W into patches
-    r = r.transpose(1, 0, 2)              # (Wp, P, P)
-    o_ref[:] = r.reshape(wp, p * patch)
+
+def _patching_kernel(x_ref, o_ref, *, patch: int, n: int, n_pad: int):
+    h, w = x_ref.shape
+    hp, wp = h // patch, w // patch
+    r = x_ref[:]                                   # (H, W) one channel
+    r = r.reshape(hp, patch, wp, patch)
+    r = r.transpose(0, 2, 1, 3)                    # (Hp, Wp, P, P)
+    o_ref[0:n, :] = r.reshape(n, patch * patch)
+    if n_pad != n:
+        o_ref[n:n_pad, :] = jnp.zeros((n_pad - n, patch * patch),
+                                      o_ref.dtype)
 
 
 def patchify(x: jax.Array, patch_size: int, *,
@@ -44,25 +50,24 @@ def patchify(x: jax.Array, patch_size: int, *,
     b, c, h, w = x.shape
     p = patch_size
     assert h % p == 0 and w % p == 0, (x.shape, p)
-    hp, wp = h // p, w // p
-    n = hp * wp
+    n = (h // p) * (w // p)
+    n_pad = round_up(n, 8)
 
-    x2d = x.reshape(b * c * hp * p, w)     # scanline rows (free reshape)
+    x2d = x.reshape(b * c * h, w)      # scanline rows (free reshape)
 
-    kernel = functools.partial(_patching_kernel, patch=p)
+    kernel = functools.partial(_patching_kernel, patch=p, n=n, n_pad=n_pad)
     out = pl.pallas_call(
         kernel,
-        grid=(b, c, hp),
-        in_specs=[pl.BlockSpec(
-            (p, w), lambda bb, cc, i: ((bb * c + cc) * hp + i, 0),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (wp, p * p), lambda bb, cc, i: (bb * hp + i, cc),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * n, c * p * p), x.dtype),
+        grid=(b, c),
+        in_specs=[pl.BlockSpec((h, w), lambda bb, cc: (bb * c + cc, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, p * p), lambda bb, cc: (bb, cc),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n_pad, c * p * p), x.dtype),
         interpret=interpret,
     )(x2d)
-    return out.reshape(b, n, c * p * p)
+    out = out.reshape(b, n_pad, c * p * p)
+    return out[:, :n] if n_pad != n else out
 
 
 if __name__ == "__main__":

@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _precision(dtype):
+    """fp32 inputs use HIGHEST (true fp32 via bf16x6 passes on the MXU) so
+    TPU results keep the reference's fp32 accumulation semantics
+    (reference vit/kernels/matmul.py:92); low-precision inputs use the
+    hardware-native default."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def gelu(x: jax.Array) -> jax.Array:
     """Exact erf-form GELU: 0.5 * x * (1 + erf(x / sqrt(2))).
 
@@ -89,7 +98,8 @@ def matmul(
     (in, out) like the reference's ``LinearWithBias`` (reference vit/vit.py:25-35).
     """
     assert x.shape[-1] == w.shape[0], (x.shape, w.shape)
-    out = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    out = jnp.matmul(x, w, preferred_element_type=jnp.float32,
+                     precision=_precision(x.dtype))
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     if activation == "gelu":
@@ -113,7 +123,8 @@ def matmul3(
     """
     assert x.ndim == y.ndim == 3 and x.shape[0] == y.shape[0], (x.shape, y.shape)
     assert x.shape[-1] == y.shape[-2], (x.shape, y.shape)
-    out = jnp.matmul(x, y, preferred_element_type=jnp.float32)
+    out = jnp.matmul(x, y, preferred_element_type=jnp.float32,
+                      precision=_precision(x.dtype))
     if scale is not None:
         out = out * scale
     return out.astype(x.dtype)
@@ -173,8 +184,10 @@ def attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(q.dtype)) * scale
     probs = softmax(scores)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_precision(q.dtype))
     return out.astype(q.dtype)
