@@ -5,12 +5,18 @@ TPU-native equivalent of reference vit/kernels/patching.py:7-105:
 (channel, row, col). The reference hardcodes C=3 with separate R/G/B loads
 (reference patching.py:37-39); here channels are generic.
 
-Formulation: both arrays are viewed 2-D (images as scanline rows, output as
-patch rows) and the grid walks (batch, channel). Each program loads one
-image channel's (H, W) scanline block, rearranges it in VMEM to the
-(N, P*P) patch rows (a blocked transpose), and writes that channel's column
-stripe of the output. Output rows are padded per image to a sublane
-multiple (Mosaic requires block rows % 8 == 0) and sliced off afterwards.
+Formulation notes (Mosaic-lowering constraints drove this design):
+
+- The W -> (Wp, P) lane split is done OUTSIDE the kernel as a free
+  contiguous reshape, so the kernel's input is a 2-D row matrix whose rows
+  are (patch_row_in_image r, patch_col j) pairs and whose lanes are the
+  P in-patch columns. Lane-splitting reshapes inside a kernel are an
+  unsupported Mosaic shape cast on v5e.
+- The kernel is then a pure row-gather: P static row-slice copies, each
+  writing one in-patch row r of all Wp patches into the output stripe's
+  lanes [r*P, (r+1)*P). No reshape or transpose touches the lane dim.
+- Output rows are padded per patch-row group to a sublane multiple
+  (Mosaic requires block rows % 8 == 0) and sliced off afterwards.
 
 Note this op is pure data movement — in the model path the unfold is left
 to XLA (vit_tpu/ops/reference.py:patchify) and fused into the embedding
@@ -32,16 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 from vit_tpu.ops.pallas.common import round_up
 
 
-def _patching_kernel(x_ref, o_ref, *, patch: int, n: int, n_pad: int):
-    h, w = x_ref.shape
-    hp, wp = h // patch, w // patch
-    r = x_ref[:]                                   # (H, W) one channel
-    r = r.reshape(hp, patch, wp, patch)
-    r = r.transpose(0, 2, 1, 3)                    # (Hp, Wp, P, P)
-    o_ref[0:n, :] = r.reshape(n, patch * patch)
-    if n_pad != n:
-        o_ref[n:n_pad, :] = jnp.zeros((n_pad - n, patch * patch),
-                                      o_ref.dtype)
+def _patching_kernel(x_ref, o_ref, *, patch: int, wp: int, wp_pad: int):
+    # x_ref: (P*Wp, P) — row (r*Wp + j) holds in-patch row r of patch j.
+    # o_ref: (wp_pad, P*P) — row j is patch j's flattened (r, s) elements.
+    for r in range(patch):
+        o_ref[0:wp, r * patch:(r + 1) * patch] = \
+            x_ref[r * wp:(r + 1) * wp, :]
+    if wp_pad != wp:
+        o_ref[wp:wp_pad, :] = jnp.zeros((wp_pad - wp, patch * patch),
+                                        o_ref.dtype)
 
 
 def patchify(x: jax.Array, patch_size: int, *,
@@ -50,24 +55,31 @@ def patchify(x: jax.Array, patch_size: int, *,
     b, c, h, w = x.shape
     p = patch_size
     assert h % p == 0 and w % p == 0, (x.shape, p)
-    n = (h // p) * (w // p)
-    n_pad = round_up(n, 8)
+    hp, wp = h // p, w // p
+    n = hp * wp
+    wp_pad = round_up(wp, 8)
 
-    x2d = x.reshape(b * c * h, w)      # scanline rows (free reshape)
+    # Free reshapes only: (B,C,H,W) -> (B,C,Hp,P,Wp,P) -> row matrix.
+    x2 = x.reshape(b * c * hp, p * wp, p).reshape(b * c * hp * p * wp, p)
 
-    kernel = functools.partial(_patching_kernel, patch=p, n=n, n_pad=n_pad)
+    kernel = functools.partial(_patching_kernel, patch=p, wp=wp,
+                               wp_pad=wp_pad)
     out = pl.pallas_call(
         kernel,
-        grid=(b, c),
-        in_specs=[pl.BlockSpec((h, w), lambda bb, cc: (bb * c + cc, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n_pad, p * p), lambda bb, cc: (bb, cc),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * n_pad, c * p * p), x.dtype),
+        grid=(b, c, hp),
+        in_specs=[pl.BlockSpec(
+            (p * wp, p), lambda bb, cc, i: ((bb * c + cc) * hp + i, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (wp_pad, p * p), lambda bb, cc, i: (bb * hp + i, cc),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp_pad, c * p * p), x.dtype),
         interpret=interpret,
-    )(x2d)
-    out = out.reshape(b, n_pad, c * p * p)
-    return out[:, :n] if n_pad != n else out
+    )(x2)
+    out = out.reshape(b, hp, wp_pad, c * p * p)
+    if wp_pad != wp:
+        out = out[:, :, :wp]
+    return out.reshape(b, n, c * p * p)
 
 
 if __name__ == "__main__":
