@@ -115,23 +115,30 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
     h = ops.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps, impl=impl)
     qkv = ops.matmul(h, lp["qkv"]["kernel"], lp["qkv"]["bias"], impl=impl)
     qkv = qkv.reshape(b, s, 3, nh, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,S,hd)
 
-    if attention == "flash":
+    if attention == "flash" and ops.resolve_impl(impl) == "xla":
+        # Heads stay in the (B,S,H,d) layout the fused QKV matmul produced —
+        # no explicit head transposes on the XLA path.
+        q, k, v = (qkv[:, :, i] for i in range(3))
+        ctx = ops.reference.attention_bshd(q, k, v, scale=hd ** -0.5)
+        ctx = ctx.reshape(b, s, d)
+    elif attention == "flash":
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         ctx = ops.flash_attention(q, k, v, scale=hd ** -0.5, impl=impl)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     elif attention == "unfused":
         # The reference's exact op chain, batched over heads: QK^T/sqrt(d)
         # via matmul3 -> softmax -> matmul3 (reference vit/vit.py:66-72).
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         qf = q.reshape(b * nh, s, hd)
         kf = k.reshape(b * nh, s, hd)
         vf = v.reshape(b * nh, s, hd)
         scores = ops.matmul3(qf, kf.transpose(0, 2, 1), scale=hd ** -0.5, impl=impl)
         probs = ops.softmax(scores, impl=impl)
         ctx = ops.matmul3(probs, vf, impl=impl).reshape(b, nh, s, hd)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     else:
         raise ValueError(f"unknown attention mode {attention!r}")
-
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn_out = ops.matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"], impl=impl)
     x = ops.add(attn_out, x, impl=impl)  # residual 1 (reference vit/vit.py:140)
 

@@ -191,3 +191,25 @@ def attention(
                      preferred_element_type=jnp.float32,
                      precision=_precision(q.dtype))
     return out.astype(q.dtype)
+
+
+def attention_bshd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Attention in (B, S, H, d) layout — heads stay where the fused QKV
+    matmul produced them, so the XLA path needs no explicit head transposes
+    (the einsums carry the layout)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(q.dtype)) * scale
+    probs = softmax(scores)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32,
+                     precision=_precision(q.dtype))
+    return out.astype(q.dtype)
