@@ -27,6 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Remote (tunneled) compiles on this platform take minutes; persist compiled
+# executables across processes so repeat benches are cheap.
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").environ.get("JAX_COMPILATION_CACHE_DIR",
+                                               "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from vit_tpu.config import ViTConfig
 from vit_tpu.models.vit import forward, init_params
 from vit_tpu.utils.timing import bench_chained

@@ -103,17 +103,32 @@ def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
 
 def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
                   impl: str | None = None,
-                  attention: str = "flash") -> jax.Array:
+                  attention: str = "flash",
+                  fused: bool = True) -> jax.Array:
     """One pre-LN transformer block (reference vit/vit.py:114-149).
 
     ``lp`` holds this layer's slice of the stacked encoder params.
+    ``fused=True`` applies the LN->matmul and matmul->residual fusions
+    (single kernel passes on the pallas path; identical math either way);
+    ``fused=False`` keeps the reference's one-op-per-kernel chain.
     """
     b, s, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layernorm_eps
 
-    h = ops.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps, impl=impl)
-    qkv = ops.matmul(h, lp["qkv"]["kernel"], lp["qkv"]["bias"], impl=impl)
+    def lin(inp, p, act=None, ln=None, res=None):
+        if fused:
+            return ops.fused_linear(
+                inp, p["kernel"], p["bias"], act,
+                ln_scale=ln["scale"] if ln else None,
+                ln_bias=ln["bias"] if ln else None,
+                eps=eps, residual=res, impl=impl)
+        h = ops.layernorm(inp, ln["scale"], ln["bias"], eps=eps,
+                          impl=impl) if ln else inp
+        out = ops.matmul(h, p["kernel"], p["bias"], act, impl=impl)
+        return ops.add(out, res, impl=impl) if res is not None else out
+
+    qkv = lin(x, lp["qkv"], ln=lp["ln1"])
     qkv = qkv.reshape(b, s, 3, nh, hd)
 
     if attention == "flash" and ops.resolve_impl(impl) == "xla":
@@ -139,18 +154,17 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     else:
         raise ValueError(f"unknown attention mode {attention!r}")
-    attn_out = ops.matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"], impl=impl)
-    x = ops.add(attn_out, x, impl=impl)  # residual 1 (reference vit/vit.py:140)
-
-    h = ops.layernorm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=eps, impl=impl)
-    h = ops.matmul(h, lp["fc1"]["kernel"], lp["fc1"]["bias"], "gelu", impl=impl)
-    h = ops.matmul(h, lp["fc2"]["kernel"], lp["fc2"]["bias"], impl=impl)
-    return ops.add(h, x, impl=impl)      # residual 2 (reference vit/vit.py:147)
+    # residual 1 (reference vit/vit.py:140), fused into the output projection
+    x = lin(ctx, lp["out"], res=x)
+    # MLP; residual 2 (reference vit/vit.py:147) fused into fc2
+    h = lin(x, lp["fc1"], act="gelu", ln=lp["ln2"])
+    return lin(h, lp["fc2"], res=x)
 
 
 def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
             impl: str | None = None,
-            attention: str = "flash") -> jax.Array:
+            attention: str = "flash",
+            fused: bool = True) -> jax.Array:
     """Full ViT forward (reference vit/vit.py:240-247).
 
     Returns, per ``cfg``:
@@ -162,7 +176,8 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
     x = embed(params, pixels, cfg, impl=impl)
 
     def body(x, lp):
-        return encoder_block(x, lp, cfg, impl=impl, attention=attention), None
+        return encoder_block(x, lp, cfg, impl=impl, attention=attention,
+                             fused=fused), None
 
     x, _ = jax.lax.scan(body, x, params["encoder"])
     x = ops.layernorm(x, params["ln_final"]["scale"], params["ln_final"]["bias"],
@@ -182,7 +197,7 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
 
 def forward_with_intermediates(params: Params, pixels: jax.Array,
                                cfg: ViTConfig, *, impl: str | None = None,
-                               attention: str = "flash"):
+                               attention: str = "flash", fused: bool = True):
     """Forward pass that also returns every layer's hidden states.
 
     The per-layer capture underlying the parity harness — the functional
@@ -196,7 +211,8 @@ def forward_with_intermediates(params: Params, pixels: jax.Array,
     x = embed(params, pixels, cfg, impl=impl)
 
     def body(x, lp):
-        y = encoder_block(x, lp, cfg, impl=impl, attention=attention)
+        y = encoder_block(x, lp, cfg, impl=impl, attention=attention,
+                          fused=fused)
         return y, y
 
     final, layer_outs = jax.lax.scan(body, x, params["encoder"])
@@ -208,9 +224,11 @@ def forward_with_intermediates(params: Params, pixels: jax.Array,
 
 
 def make_forward(cfg: ViTConfig, *, impl: str | None = None,
-                 attention: str = "flash", jit: bool = True):
+                 attention: str = "flash", fused: bool = True,
+                 jit: bool = True):
     """Bind config/impl and (optionally) jit — one fixed-shape executable per
     batch size, the reference's planned "fix all tensor sizes + CUDA graphs"
     optimization (reference README.md:28-29) for free."""
-    fn = functools.partial(forward, cfg=cfg, impl=impl, attention=attention)
+    fn = functools.partial(forward, cfg=cfg, impl=impl, attention=attention,
+                           fused=fused)
     return jax.jit(fn) if jit else fn

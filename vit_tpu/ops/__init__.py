@@ -19,7 +19,7 @@ from vit_tpu.ops.dispatch import interpret_mode, resolve_impl
 from vit_tpu.ops.reference import gelu, patchify as _patchify_ref
 
 __all__ = [
-    "add", "layernorm", "softmax", "matmul", "matmul3",
+    "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
     "resolve_impl", "interpret_mode", "reference",
 ]
@@ -59,6 +59,27 @@ def matmul(x, w, bias=None, activation=None, *, impl=None, interpret=None):
         return reference.matmul(x, w, bias, activation)
     from vit_tpu.ops.pallas import vjp as _k
     return _k.linear(x, w, bias, activation, interpret_mode(interpret))
+
+
+def fused_linear(x, w, bias=None, activation=None, *, ln_scale=None,
+                 ln_bias=None, eps=1e-12, residual=None, impl=None,
+                 interpret=None):
+    """``act(LN(x) @ w + bias) + residual`` — the transformer-block fusion.
+
+    Pallas path: one matmul pass with LN prologue (precomputed row stats)
+    and residual epilogue (vit_tpu/ops/pallas/matmul.py:fused_linear).
+    XLA path: the same math as the unfused op chain — XLA's fusion does the
+    equivalent work at the HLO level.
+    """
+    if resolve_impl(impl) == "xla":
+        h = (reference.layernorm(x, ln_scale, ln_bias, eps=eps)
+             if ln_scale is not None else x)
+        out = reference.matmul(h, w, bias, activation)
+        return reference.add(out, residual) if residual is not None else out
+    from vit_tpu.ops.pallas import matmul as _k
+    return _k.fused_linear(x, w, bias, activation, ln_scale=ln_scale,
+                           ln_bias=ln_bias, eps=eps, residual=residual,
+                           interpret=interpret_mode(interpret))
 
 
 def matmul3(x, y, *, scale=None, impl=None, interpret=None):

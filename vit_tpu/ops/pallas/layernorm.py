@@ -36,6 +36,37 @@ def _layernorm_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float, d: int):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _stats_kernel(x_ref, mu_ref, rs_ref, *, eps: float, d: int):
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    cx = x - mean
+    var = jnp.sum(cx * cx, axis=-1, keepdims=True) / d
+    mu_ref[:] = mean
+    rs_ref[:] = jax.lax.rsqrt(var + eps)
+
+
+def layernorm_stats(x: jax.Array, *, eps: float = 1e-12,
+                    interpret: bool = False):
+    """Row mean and reciprocal-std of ``(..., D)`` -> two ``(M, 1)`` fp32
+    arrays (rows flattened). The first half of a layernorm, split out so the
+    normalization itself can fuse into a following matmul's prologue
+    (vit_tpu/ops/pallas/matmul.py:fused_linear)."""
+    xf, _ = as_rows(x)
+    m, d = xf.shape
+    bm = pick_row_block(m, round_up(d, 128) * 4, dtype=x.dtype)
+    kernel = functools.partial(_stats_kernel, eps=eps, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm),),
+        in_specs=[pl.BlockSpec((bm, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xf)
+
+
 def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
               eps: float = 1e-12, interpret: bool = False) -> jax.Array:
     """Layernorm over the last dim of ``(..., D)``; scale/bias shape (D,)."""

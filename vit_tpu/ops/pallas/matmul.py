@@ -156,6 +156,143 @@ def matmul(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     return out.reshape(*lead, n)
 
 
+def _fused_linear_kernel(*refs, nk: int, activation: str | None,
+                         has_bias: bool, has_ln: bool, has_res: bool,
+                         precision):
+    """matmul with optional LN prologue (precomputed row stats) and optional
+    residual-add epilogue. Operand order (presence per flags):
+    x, w, [bias], [mu, rstd, gamma, beta], [residual], out, acc."""
+    it = iter(refs)
+    x_ref, w_ref = next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    if has_ln:
+        mu_ref, rs_ref, g_ref, be_ref = (next(it) for _ in range(4))
+    res_ref = next(it) if has_res else None
+    o_ref, acc_ref = next(it), next(it)
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    if has_ln:
+        # Normalize this K-tile in fp32: (x - mu) * rstd * gamma + beta.
+        # gamma/beta are zero-padded past the true K, so padded columns
+        # contribute exactly 0 to the accumulator.
+        xn = (x.astype(jnp.float32) - mu_ref[:]) * rs_ref[:]
+        xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+        x = xn.astype(x_ref.dtype)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(k == nk - 1)
+    def _():
+        r = acc_ref[:]
+        if has_bias:
+            r = r + b_ref[:].astype(jnp.float32)
+        if activation == "gelu":
+            r = gelu(r)
+        if has_res:
+            r = r + res_ref[:].astype(jnp.float32)
+        o_ref[:] = r.astype(o_ref.dtype)
+
+
+def fused_linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+                 activation: str | None = None, *,
+                 ln_scale: jax.Array | None = None,
+                 ln_bias: jax.Array | None = None,
+                 eps: float = 1e-12,
+                 residual: jax.Array | None = None,
+                 interpret: bool = False) -> jax.Array:
+    """``act(LN(x) @ w + bias) + residual`` in one matmul pass.
+
+    The transformer-block fusion the reference's roadmap gestures at
+    (reference README.md items 2-4): the layernorm feeding a linear never
+    materializes — row stats are precomputed into two (M, 1) vectors
+    (vit_tpu/ops/pallas/layernorm.py:layernorm_stats) and the normalization
+    happens on each K-tile in VMEM as the matmul streams it; the residual
+    add rides the output epilogue. Saves 4 full activation HBM passes per
+    fused LN and 2 per fused residual vs the unfused kernel chain.
+    """
+    assert x.shape[-1] == w.shape[0], (x.shape, w.shape)
+    if activation not in (None, "gelu"):
+        raise ValueError(f"unknown activation {activation!r}")
+    has_ln = ln_scale is not None
+    has_res = residual is not None
+    has_bias = bias is not None
+    *lead, k = x.shape
+    n = w.shape[1]
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+
+    operands = []
+    in_specs = []
+
+    if has_ln:
+        from vit_tpu.ops.pallas.layernorm import layernorm_stats
+        assert ln_bias is not None and ln_scale.shape == ln_bias.shape == (k,)
+        mu, rstd = layernorm_stats(xf, eps=eps, interpret=interpret)
+
+    xf, _ = pad_dim(xf, 1, 128)
+    wp, _ = pad_dim(w, 0, 128)
+    kp = xf.shape[1]
+    bm, bn, bk = _pick_blocks(m, n, kp, x.dtype.itemsize)
+    assert kp % bk == 0, (kp, bk)
+    nk = kp // bk
+
+    operands.append(xf)
+    in_specs.append(pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                                 memory_space=pltpu.VMEM))
+    operands.append(wp)
+    in_specs.append(pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                                 memory_space=pltpu.VMEM))
+    if has_bias:
+        operands.append(bias.reshape(1, n))
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                                     memory_space=pltpu.VMEM))
+    if has_ln:
+        stat_spec = pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((1, bk), lambda i, j, kk: (0, kk),
+                                memory_space=pltpu.VMEM)
+        operands += [mu, rstd,
+                     pad_dim(ln_scale.reshape(1, k), 1, 128)[0],
+                     pad_dim(ln_bias.reshape(1, k), 1, 128)[0]]
+        in_specs += [stat_spec, stat_spec, vec_spec, vec_spec]
+    if has_res:
+        rf = residual.reshape(-1, n)
+        assert rf.shape == (m, n), (residual.shape, (m, n))
+        operands.append(rf)
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _fused_linear_kernel, nk=nk, activation=activation,
+        has_bias=has_bias, has_ln=has_ln, has_res=has_res,
+        precision=_dot_precision(x.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm), cdiv(n, bn), nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kp,
+            bytes_accessed=(m * kp + kp * n + m * n) * x.dtype.itemsize,
+            transcendentals=m * n if activation == "gelu" else 0),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(*lead, n)
+
+
 if __name__ == "__main__":
     import argparse
 
