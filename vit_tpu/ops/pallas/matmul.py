@@ -75,6 +75,12 @@ def _pick_blocks(m: int, n: int, k: int, itemsize: int):
     (e.g. 512x512x768 fp32) send its allocator into pathological compile
     times on v5e.
     """
+    import os
+    override = os.environ.get("VIT_TPU_MM_BLOCKS")
+    if override:  # manual tuning escape hatch: "bm,bn,bk"
+        bm, bn, bk = (int(v) for v in override.split(","))
+        return bm, bn, bk
+
     bm = min(512, round_up(m, 128))
     bn = min(512, round_up(n, 128))
 
