@@ -81,11 +81,56 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _flash_group_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        seq_len: int, sp: int, group: int, precision):
+    """Short-sequence fast path: the whole (padded) sequence is one K tile,
+    so no online-softmax state is needed, and ``group`` heads are processed
+    per grid step (static unrolled loop) to amortize the TPU's per-grid-step
+    pipeline overhead — with one step per (batch, head) a bs=32 B/16 pays
+    ~384 step setups for ~40us of MXU work."""
+    for g in range(group):
+        q = q_ref[g * sp:(g + 1) * sp, :]
+        k = k_ref[g * sp:(g + 1) * sp, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision) * scale
+        if seq_len != sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, _NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[g * sp:(g + 1) * sp, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        o_ref[g * sp:(g + 1) * sp, :] = (ctx / l).astype(o_ref.dtype)
+
+
+def _pick_group(bh: int, sp: int, d: int, itemsize: int,
+                budget: int = 4 * 2**20) -> int:
+    """Heads per grid step: as many as divide B*H and fit the VMEM budget
+    (4 streams double-buffered + fp32 score tile per head)."""
+    per_head = 4 * sp * d * itemsize * 2 + sp * sp * 4
+    g = max(1, min(bh, budget // per_head, 16))
+    while bh % g:
+        g -= 1
+    return g
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float | None = None,
                     block_q: int = 256, block_k: int = 256,
                     interpret: bool = False) -> jax.Array:
-    """Softmax(q @ k^T * scale) @ v for (B, H, S, d) operands."""
+    """Softmax(q @ k^T * scale) @ v for (B, H, S, d) operands.
+
+    Two regimes:
+    - ``S <= block_k`` (every ViT variant up to H/14): single K tile per
+      head, plain softmax, multiple heads per grid step
+      (:func:`_flash_group_kernel`).
+    - longer sequences (L/16-384's 577 tokens and beyond): blockwise
+      online-softmax recurrence (:func:`_flash_kernel`), O(block) memory.
+    """
     assert q.shape == k.shape == v.shape, (q.shape, k.shape, v.shape)
     b, h, s, d = q.shape
     if scale is None:
@@ -103,6 +148,35 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         return x.reshape(bh * sp, d)
 
     qf, kf, vf = rows(q, sq), rows(k, sk), rows(v, sk)
+
+    if sq == sk == bq == bk:
+        # Fast path: one K tile per head; group heads per grid step.
+        sp = sq
+        group = _pick_group(bh, sp, d, q.dtype.itemsize)
+        kernel = functools.partial(_flash_group_kernel, scale=scale,
+                                   seq_len=s, sp=sp, group=group,
+                                   precision=_dot_precision(q.dtype))
+        spec = pl.BlockSpec((group * sp, d), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bh // group,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((bh * sp, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s * s * d,
+                bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+                transcendentals=b * h * s * s),
+            interpret=interpret,
+        )(qf, kf, vf)
+        out = out.reshape(bh, sp, d)
+        if sp != s:
+            out = out[:, :s]
+        return out.reshape(b, h, s, d)
+
     qb, kb = sq // bq, sk // bk  # tiles per (batch, head) segment
     nk = kb
 
