@@ -110,7 +110,12 @@ def _flash_group_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 def _pick_group(bh: int, sp: int, d: int, itemsize: int,
                 budget: int = 4 * 2**20) -> int:
     """Heads per grid step: as many as divide B*H and fit the VMEM budget
-    (4 streams double-buffered + fp32 score tile per head)."""
+    (4 streams double-buffered + fp32 score tile per head).
+    ``VIT_TPU_ATTN_GROUP`` overrides for tuning."""
+    import os
+    override = os.environ.get("VIT_TPU_ATTN_GROUP")
+    if override:
+        return int(override)
     per_head = 4 * sp * d * itemsize * 2 + sp * sp * 4
     g = max(1, min(bh, budget // per_head, 16))
     while bh % g:

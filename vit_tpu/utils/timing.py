@@ -63,7 +63,7 @@ def do_bench(fn: Callable, *, warmup: int = 10, reps: int = 30,
 
 
 def bench_chained(step: Callable[[jax.Array], jax.Array], *,
-                  lengths: tuple[int, int] = (2, 12), reps: int = 5,
+                  lengths: tuple[int, int] = (10, 110), reps: int = 5,
                   warmup: int = 2) -> float:
     """Steady-state per-iteration milliseconds of ``step``.
 
