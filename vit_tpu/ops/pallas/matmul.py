@@ -81,8 +81,17 @@ def _pick_blocks(m: int, n: int, k: int, itemsize: int):
         bm, bn, bk = (int(v) for v in override.split(","))
         return bm, bn, bk
 
-    bm = min(512, round_up(m, 128))
-    bn = min(512, round_up(n, 128))
+    # Tuned on v5e (bs=32 ViT-B shapes, see round-1 sweep): per-grid-step
+    # pipeline setup is ~us-scale, so deep full-K tiles (nk=1 where
+    # possible) and wide-ish N beat many small revisited tiles. bf16 halves
+    # stream bytes, so it affords bigger blocks; fp32 keeps the conservative
+    # budget (configs near the VMEM ceiling hang this platform's compiler).
+    if itemsize <= 2:
+        budget, bm0, bn_cap, bk_cap = 10 * 2**20, 640, 768, 1536
+    else:
+        budget, bm0, bn_cap, bk_cap = 6 * 2**20, 512, 512, 512
+    bm = min(bm0, round_up(m, 128))
+    bn = min(bn_cap, round_up(n, 128))
 
     def bk_for(cap: int) -> int:
         # bk MUST divide k exactly (k is pre-padded to a 128 multiple by the
@@ -93,11 +102,11 @@ def _pick_blocks(m: int, n: int, k: int, itemsize: int):
                 return cand
         return 128
 
-    bk = bk_for(512)
+    bk = bk_for(bk_cap)
     # Live VMEM ~ 2*(bm*bk + bk*bn)*itemsize (double-buffered streams)
     # + bm*bn*4 (accumulator) + 2*bm*bn*itemsize (double-buffered output).
     while (2 * (bm * bk + bk * bn) * itemsize
-           + bm * bn * (4 + 2 * itemsize)) >= 6 * 2**20:
+           + bm * bn * (4 + 2 * itemsize)) >= budget:
         if bm >= bn and bm > 128:
             bm //= 2
         elif bn > 128:
