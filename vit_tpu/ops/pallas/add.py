@@ -82,8 +82,8 @@ if __name__ == "__main__":
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, v: add(u, v)))
-            xla = bench_chained(mk(reference.add))
+            pal = bench_chained(mk(lambda u, v: add(u, v)), lengths=(100, 2100))
+            xla = bench_chained(mk(reference.add), lengths=(100, 2100))
             gbps = 3 * args.B * n * args.D * dt.itemsize / 1e9
             rows.append({"N": n, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),

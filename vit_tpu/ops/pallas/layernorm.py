@@ -133,8 +133,8 @@ if __name__ == "__main__":
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, s2, b2: layernorm(u, s2, b2)))
-            xla = bench_chained(mk(reference.layernorm))
+            pal = bench_chained(mk(lambda u, s2, b2: layernorm(u, s2, b2)), lengths=(100, 2100))
+            xla = bench_chained(mk(reference.layernorm), lengths=(100, 2100))
             gbps = 2 * args.B * n * args.D * dt.itemsize / 1e9
             rows.append({"N": n, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),

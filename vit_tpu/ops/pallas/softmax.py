@@ -85,8 +85,8 @@ if __name__ == "__main__":
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u: softmax(u)))
-            xla = bench_chained(mk(reference.softmax))
+            pal = bench_chained(mk(lambda u: softmax(u)), lengths=(100, 2100))
+            xla = bench_chained(mk(reference.softmax), lengths=(100, 2100))
             gbps = 2 * args.B * 1024 * d * dt.itemsize / 1e9
             rows.append({"D": d, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),
