@@ -232,7 +232,7 @@ if __name__ == "__main__":
     from vit_tpu.utils.timing import bench_chained
 
     ap = argparse.ArgumentParser(description="flash attention self-test + bench")
-    ap.add_argument("-B", type=int, default=2)
+    ap.add_argument("-B", type=int, default=8)
     ap.add_argument("-H", type=int, default=12)
     ap.add_argument("-S", type=int, default=197)
     ap.add_argument("-d", type=int, default=64)
