@@ -141,8 +141,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if scale is None:
         scale = d ** -0.5
 
-    bq = min(block_q, round_up(s, 128))
-    bk = min(block_k, round_up(s, 128))
+    sp_min = round_up(s, 128)
+    if sp_min <= max(block_q, 512):
+        # Single-tile regime: make the tile exactly the padded sequence so
+        # the grouped fast path applies (e.g. S=257 -> 384, not 2x256).
+        bq = bk = sp_min
+    else:
+        bq = min(block_q, sp_min)
+        bk = min(block_k, sp_min)
     sq, sk = round_up(s, bq), round_up(s, bk)
     bh = b * h
 
