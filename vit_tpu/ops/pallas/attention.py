@@ -142,9 +142,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         scale = d ** -0.5
 
     sp_min = round_up(s, 128)
-    if sp_min <= max(block_q, 512):
+    if sp_min <= max(block_q, 768):
         # Single-tile regime: make the tile exactly the padded sequence so
-        # the grouped fast path applies (e.g. S=257 -> 384, not 2x256).
+        # the grouped fast path applies (e.g. S=257 -> 384, not 2x256;
+        # covers every BASELINE variant incl. L/16-384's 577 tokens — the
+        # fp32 score tile for 768 rows is 2.3MB, well within VMEM).
         bq = bk = sp_min
     else:
         bq = min(block_q, sp_min)
