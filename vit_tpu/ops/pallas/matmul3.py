@@ -49,6 +49,22 @@ def _matmul3_kernel(x_ref, y_ref, o_ref, acc_ref, *, nk: int,
         o_ref[:] = r.astype(o_ref.dtype)
 
 
+def _matmul3_group_kernel(x_ref, y_ref, o_ref, *, group: int, mp: int,
+                          kp: int, scale: float | None, precision):
+    """Small-per-batch fast path: each batch's whole matmul is one tile, and
+    ``group`` batches are processed per grid step (static unrolled loop) to
+    amortize the TPU's per-grid-step pipeline setup — attention-shaped
+    calls (e.g. (B*H, 197, 64)@(B*H, 64, 197)) are otherwise step-bound."""
+    for g in range(group):
+        r = jax.lax.dot_general(
+            x_ref[g * mp:(g + 1) * mp, :], y_ref[g * kp:(g + 1) * kp, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if scale is not None:
+            r = r * scale
+        o_ref[g * mp:(g + 1) * mp, :] = r.astype(o_ref.dtype)
+
+
 def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
             interpret: bool = False) -> jax.Array:
     """``(x @ y) * scale`` for x (B,M,K), y (B,K,N)."""
@@ -70,6 +86,39 @@ def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
     yp, _ = pad_dim(y, 1, bk)
     yp = yp.reshape(b * kp, n)
     mb, kb = mp // bm, kp // bk  # blocks per batch along M / K
+
+    if mb == 1 and nk == 1 and n <= bn:
+        # Whole per-batch product fits one tile: group batches per step.
+        it = x.dtype.itemsize
+        per_b = ((mp * kp + kp * n + mp * n) * it) * 2 + mp * n * 4
+        group = max(1, min(b, (4 * 2**20) // max(per_b, 1), 16))
+        while b % group:
+            group -= 1
+        kernel = functools.partial(
+            _matmul3_group_kernel, group=group, mp=mp, kp=kp, scale=scale,
+            precision=_dot_precision(x.dtype))
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // group,),
+            in_specs=[
+                pl.BlockSpec((group * mp, kp), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((group * kp, n), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((group * mp, n), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * mp, n), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * m * n * kp,
+                bytes_accessed=b * (m * kp + kp * n + m * n) * it,
+                transcendentals=0),
+            interpret=interpret,
+        )(xp, yp)
+        out = out.reshape(b, mp, n)
+        return out[:, :m] if mp != m else out
 
     kernel = functools.partial(_matmul3_kernel, nk=nk, scale=scale,
                                precision=_dot_precision(x.dtype))
