@@ -41,8 +41,11 @@ def run_verification(hf_model, *, batch: int = 2, seed: int = 0,
 
     with torch.no_grad():
         hf_out = hf_model(torch.from_numpy(px), output_hidden_states=True)
-    ours, hiddens = vit.forward_with_intermediates(
-        params, jnp.asarray(px), cfg, impl=impl, attention=attention)
+    import functools
+    import jax
+    fwd = jax.jit(functools.partial(vit.forward_with_intermediates,
+                                    cfg=cfg, impl=impl, attention=attention))
+    ours, hiddens = fwd(params, jnp.asarray(px))
 
     print(f"{'layer':<28} {'shape':<20} {'max|diff|':>12}")
     worst = 0.0
