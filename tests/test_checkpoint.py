@@ -74,3 +74,26 @@ def test_loaded_params_run(tmp_path, rng):
     a = vit.forward(params, jnp.asarray(px), cfg)
     b = vit.forward(loaded, jnp.asarray(px), cfg)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_orbax_roundtrip(tmp_path):
+    from vit_tpu.parallel import make_mesh, param_shardings
+
+    mesh = make_mesh(data=4, model=2)
+    params = vit.init_params(jax.random.key(0), SMALL)
+    shardings = param_shardings(params, mesh, SMALL)
+    sharded = jax.device_put(params, shardings)
+
+    path = str(tmp_path / "sharded")
+    ckpt.save_sharded(path, sharded, SMALL)
+
+    # restore unsharded
+    loaded, cfg = ckpt.load_sharded(path)
+    assert cfg == SMALL
+    _tree_equal(params, loaded)
+
+    # restore straight into shardings
+    loaded2, _ = ckpt.load_sharded(path, shardings)
+    _tree_equal(params, loaded2)
+    leaf = loaded2["encoder"]["qkv"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated

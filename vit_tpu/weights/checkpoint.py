@@ -94,3 +94,46 @@ def load_or_convert(cache_path: str, convert: Callable[[], tuple[Params, ViTConf
     params, cfg = convert()
     save_params(cache_path, params, cfg)
     return params, cfg
+
+
+def save_sharded(path: str, params: Params, cfg: ViTConfig) -> None:
+    """Orbax checkpoint of (possibly sharded) params — each device writes
+    its own shards, so this scales to multi-host meshes (the single-file
+    safetensors path gathers everything to one host)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path + ".orbax", params)
+    meta = dataclasses.asdict(cfg)
+    meta["dtype"] = jnp.dtype(cfg.dtype).name
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_sharded(path: str, shardings: Params | None = None
+                 ) -> tuple[Params, ViTConfig]:
+    """Restore an orbax checkpoint; with a ``shardings`` pytree (matching
+    the params structure, e.g. from vit_tpu.parallel.param_shardings) each
+    device reads only its own shards and the result is already placed."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    meta["dtype"] = jnp.dtype(meta["dtype"])
+    cfg = ViTConfig(**meta)
+    with ocp.StandardCheckpointer() as ckptr:
+        if shardings is None:
+            params = ckptr.restore(path + ".orbax")
+        else:
+            from vit_tpu.models.vit import init_params
+            abstract = jax.eval_shape(
+                lambda: init_params(jax.random.key(0), cfg))
+            target = jax.tree.map(
+                lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                  sharding=s),
+                abstract, shardings)
+            params = ckptr.restore(path + ".orbax", target)
+    verify_params(params)
+    return params, cfg
