@@ -108,7 +108,7 @@ def _flash_group_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 def _pick_group(bh: int, sp: int, d: int, itemsize: int,
-                budget: int = 4 * 2**20) -> int:
+                budget: int = 8 * 2**20) -> int:
     """Heads per grid step: as many as divide B*H and fit the VMEM budget
     (4 streams double-buffered + fp32 score tile per head).
     ``VIT_TPU_ATTN_GROUP`` overrides for tuning."""
