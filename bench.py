@@ -53,7 +53,7 @@ def model_ms(cfg: ViTConfig, batch: int, *, impl: str | None = None,
     px = jnp.asarray(rng.standard_normal(
         (batch, 3, cfg.image_size, cfg.image_size)), cfg.dtype)
 
-    def step(c):
+    def step(c, params, px):
         # Perturb the input by c*1e-30 (a live data dependency the compiler
         # cannot fold; numerically a no-op) and reduce the output to the
         # next carry so every chained forward is real and serialized.
@@ -61,7 +61,7 @@ def model_ms(cfg: ViTConfig, batch: int, *, impl: str | None = None,
         out = forward(params, x, cfg, impl=impl, attention=attention)
         return jnp.mean(out).astype(jnp.float32)
 
-    return bench_chained(step, reps=reps)
+    return bench_chained(step, reps=reps, args=(params, px))
 
 
 def main():

@@ -45,12 +45,12 @@ def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
         px = jnp.asarray(rng.standard_normal(
             (b, 3, cfg.image_size, cfg.image_size)), cfg.dtype)
 
-        def step(c):
+        def step(c, params, px):
             x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
             out = forward(params, x, cfg, impl=impl, attention=attention)
             return jnp.mean(out).astype(jnp.float32)
 
-        ms = bench_chained(step, reps=reps)
+        ms = bench_chained(step, reps=reps, args=(params, px))
         row = {"batch": b, "tpu_ms": round(ms, 3),
                "tpu_img_per_s": round(b / (ms / 1e3), 1)}
         row.update(REFERENCE_MS.get(b, {}))

@@ -62,21 +62,26 @@ def do_bench(fn: Callable, *, warmup: int = 10, reps: int = 30,
     return tuple(float(np.quantile(times, q)) for q in quantiles)
 
 
-def bench_chained(step: Callable[[jax.Array], jax.Array], *,
+def bench_chained(step: Callable, *,
                   lengths: tuple[int, int] = (10, 110), reps: int = 5,
-                  warmup: int = 2) -> float:
+                  warmup: int = 2, args: tuple = ()) -> float:
     """Steady-state per-iteration milliseconds of ``step``.
 
-    ``step``: traced fn (fp32 scalar carry) -> (fp32 scalar carry). It must
-    consume the carry in a way the compiler cannot fold (e.g. perturb an
-    input by ``carry * 1e-30``) and produce a scalar derived from its real
-    output, so every iteration is live and serialized.
+    ``step``: traced fn ``(fp32 scalar carry, *args) -> fp32 scalar carry``.
+    It must consume the carry in a way the compiler cannot fold (e.g.
+    perturb an input by ``carry * 1e-30``) and produce a scalar derived from
+    its real output, so every iteration is live and serialized.
+
+    Pass large operands (params, inputs) via ``args`` rather than closing
+    over them: closed-over arrays are baked into the HLO as constants, which
+    bloats every compile (and exceeds this platform's remote-compile request
+    limit for fp32-model-sized constants).
     """
     def build(n: int):
         @jax.jit
-        def g(c0):
+        def g(c0, *a):
             def body(c, _):
-                return step(c), None
+                return step(c, *a), None
             c, _ = jax.lax.scan(body, c0, None, length=n)
             return c
         return g
@@ -86,11 +91,11 @@ def bench_chained(step: Callable[[jax.Array], jax.Array], *,
     for n in lengths:
         g = build(n)
         for _ in range(warmup):
-            jax.device_get(g(c0))  # compile + warm
+            jax.device_get(g(c0, *args))  # compile + warm
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.device_get(g(c0))
+            jax.device_get(g(c0, *args))
             best = min(best, time.perf_counter() - t0)
         t[n] = best
     n1, n2 = lengths
