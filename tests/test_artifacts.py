@@ -1,0 +1,28 @@
+"""Benchmark artifact writer (reference Performance.csv/png layout)."""
+
+import csv
+import os
+
+import pytest
+
+from vit_tpu.bench.artifacts import selftest, write_perf_report
+
+
+def test_write_perf_report(tmp_path):
+    rows = [{"N": 256, "pallas_ms": 1.0, "xla_ms": 2.0},
+            {"N": 512, "pallas_ms": 2.0, "xla_ms": 4.0}]
+    out = write_perf_report("unit", rows, x_key="N",
+                            y_keys=["pallas_ms", "xla_ms"],
+                            out_root=str(tmp_path))
+    with open(os.path.join(out, "Performance.csv")) as f:
+        got = list(csv.DictReader(f))
+    assert got[0]["N"] == "256" and got[1]["xla_ms"] == "4.0"
+    assert os.path.exists(os.path.join(out, "Performance.png"))
+
+
+def test_selftest_passes_and_fails(capsys):
+    selftest("ok", [1.0, 2.0], [1.0, 2.0], atol=1e-6)
+    assert "PASSED" in capsys.readouterr().out
+    with pytest.raises(AssertionError):
+        selftest("bad", [1.0, 2.0], [1.0, 3.0], atol=1e-6)
+    assert "FAILED" in capsys.readouterr().out
