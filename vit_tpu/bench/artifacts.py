@@ -23,7 +23,13 @@ def write_perf_report(name: str, rows: Sequence[dict], *,
     out_dir = os.path.join(out_root, name)
     os.makedirs(out_dir, exist_ok=True)
 
-    keys = [x_key] + [k for k in rows[0] if k != x_key]
+    # Union of keys across ALL rows (first-seen order): sweep rows can gain
+    # columns partway (e.g. reference-baseline columns only at batches that
+    # have published numbers), and DictWriter raises on unknown fieldnames.
+    seen = dict.fromkeys([x_key])
+    for r in rows:
+        seen.update(dict.fromkeys(r))
+    keys = list(seen)
     csv_path = os.path.join(out_dir, "Performance.csv")
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)

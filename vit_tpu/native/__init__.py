@@ -21,8 +21,16 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libmatmul_batch.so")
 
 
 def ensure_built() -> str:
-    """Build the native library if missing (idempotent). Returns its path."""
-    if not os.path.exists(_LIB_PATH):
+    """Build the native library if missing or stale (idempotent).
+
+    Staleness is keyed on source mtime vs .so mtime — a binary left over
+    from another host (or an older source) is rebuilt, never trusted.
+    Returns the library path.
+    """
+    src = os.path.join(_NATIVE_DIR, "matmul_batch.cc")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         subprocess.run(["make", "-C", _NATIVE_DIR, "libmatmul_batch.so"],
                        check=True, capture_output=True)
     return _LIB_PATH

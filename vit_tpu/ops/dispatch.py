@@ -20,7 +20,6 @@ reference lacks (SURVEY.md §4).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -28,8 +27,11 @@ import jax
 VALID_IMPLS = ("xla", "pallas")
 
 
-@functools.cache
 def _backend() -> str:
+    # Deliberately uncached: callers like __graft_entry__.dryrun_multichip
+    # switch platforms mid-process via clear_backends(), and a cached value
+    # would keep selecting compiled pallas on a CPU backend. default_backend()
+    # is cheap once the backend is initialized.
     return jax.default_backend()
 
 

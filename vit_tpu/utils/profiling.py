@@ -36,11 +36,20 @@ def trace(log_dir: str = "/tmp/vit_tpu_trace"):
 
 @contextlib.contextmanager
 def deterministic():
-    """Run the enclosed block with deterministic XLA ops and interpreted
-    Pallas kernels (bounds-checked, bit-reproducible)."""
+    """Run the enclosed block with interpreted (bounds-checked) Pallas
+    kernels and fast-math disabled for any XLA backend initialized inside
+    the block.
+
+    CAVEAT: ``XLA_FLAGS`` is parsed once at backend initialization, so the
+    fast-math knob only takes effect if this context manager wraps the FIRST
+    jax computation of the process. After init, the effective guarantee is
+    the interpreter-mode env var (which vit_tpu.ops.dispatch reads per call)
+    — still bit-reproducible for every pallas op, but XLA-compiled ops keep
+    whatever flags the backend started with.
+    """
     old_flags = os.environ.get("XLA_FLAGS", "")
     old_interp = os.environ.get("VIT_TPU_INTERPRET")
-    if "--xla_gpu_deterministic_ops" not in old_flags:
+    if "--xla_cpu_enable_fast_math" not in old_flags:
         os.environ["XLA_FLAGS"] = (
             old_flags + " --xla_cpu_enable_fast_math=false").strip()
     os.environ["VIT_TPU_INTERPRET"] = "1"

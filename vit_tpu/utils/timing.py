@@ -62,9 +62,14 @@ def do_bench(fn: Callable, *, warmup: int = 10, reps: int = 30,
     return tuple(float(np.quantile(times, q)) for q in quantiles)
 
 
+class NoisyTimingError(RuntimeError):
+    """The chained-slope fit could not produce a trustworthy positive time."""
+
+
 def bench_chained(step: Callable, *,
-                  lengths: tuple[int, int] = (10, 110), reps: int = 5,
-                  warmup: int = 2, args: tuple = ()) -> float:
+                  lengths: tuple[int, ...] = (10, 60, 110), reps: int = 5,
+                  warmup: int = 2, args: tuple = (),
+                  max_rel_residual: float = 0.25) -> float:
     """Steady-state per-iteration milliseconds of ``step``.
 
     ``step``: traced fn ``(fp32 scalar carry, *args) -> fp32 scalar carry``.
@@ -72,11 +77,20 @@ def bench_chained(step: Callable, *,
     perturb an input by ``carry * 1e-30``) and produce a scalar derived from
     its real output, so every iteration is live and serialized.
 
+    The per-iteration time is the least-squares slope of median wall-clock
+    over >=3 chain lengths (a two-point min-of-reps difference is noise-
+    dominated for sub-50us ops and can even go negative — round-1 artifacts
+    published -97 TFLOP/s rows that way). The slope is asserted positive and
+    the fit residual is checked; on a noisy fit the measurement is retried
+    once with doubled lengths/reps before raising :class:`NoisyTimingError`.
+
     Pass large operands (params, inputs) via ``args`` rather than closing
     over them: closed-over arrays are baked into the HLO as constants, which
     bloats every compile (and exceeds this platform's remote-compile request
     limit for fp32-model-sized constants).
     """
+    assert len(lengths) >= 2 and len(set(lengths)) == len(lengths), lengths
+
     def build(n: int):
         @jax.jit
         def g(c0, *a):
@@ -86,20 +100,40 @@ def bench_chained(step: Callable, *,
             return c
         return g
 
-    t = {}
-    c0 = jnp.float32(0.0)
-    for n in lengths:
-        g = build(n)
-        for _ in range(warmup):
-            jax.device_get(g(c0, *args))  # compile + warm
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(g(c0, *args))
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    n1, n2 = lengths
-    return (t[n2] - t[n1]) / (n2 - n1) * 1e3
+    def measure(lens: tuple[int, ...], nreps: int) -> tuple[float, float]:
+        """(slope_ms, relative_residual) from a least-squares line fit of
+        median total seconds vs chain length."""
+        med = {}
+        c0 = jnp.float32(0.0)
+        for n in lens:
+            g = build(n)
+            for _ in range(warmup):
+                jax.device_get(g(c0, *args))  # compile + warm
+            times = np.empty(nreps)
+            for i in range(nreps):
+                t0 = time.perf_counter()
+                jax.device_get(g(c0, *args))
+                times[i] = time.perf_counter() - t0
+            med[n] = float(np.median(times))
+        xs = np.asarray(lens, np.float64)
+        ys = np.asarray([med[n] for n in lens], np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        pred = slope * xs + intercept
+        scale = max(abs(slope) * (xs.max() - xs.min()), 1e-12)
+        resid = float(np.abs(ys - pred).max() / scale)
+        return slope * 1e3, resid
+
+    slope_ms, resid = measure(lengths, reps)
+    if slope_ms <= 0 or (len(lengths) > 2 and resid > max_rel_residual):
+        # One retry with longer chains (amortizes fixed jitter further).
+        longer = tuple(1 + 2 * (n - 1) for n in lengths)
+        slope_ms, resid = measure(longer, max(reps, 7))
+        if slope_ms <= 0:
+            raise NoisyTimingError(
+                f"non-positive per-iteration time {slope_ms:.6f} ms after "
+                f"retry (lengths={longer}); the op is too fast/noisy for "
+                f"this harness — increase lengths")
+    return slope_ms
 
 
 def benchmark_sweep(make_fns: Callable[[int], dict[str, Callable]],
