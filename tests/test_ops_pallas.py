@@ -117,6 +117,38 @@ def test_flash_attention_head_dim_80(rng, dt):
                                atol=_tol(dt, 2e-5, 2e-2))
 
 
+@pytest.mark.parametrize("dt", [F32, BF16])
+@pytest.mark.parametrize("s,sp", [(197, 208), (50, 64), (577, 592)])
+def test_flash_attention_prepadded_seq_len(rng, dt, s, sp):
+    # The model pads the whole encoder to a sublane multiple and passes the
+    # real token count via seq_len; padded keys must be masked and real rows
+    # must match unpadded attention exactly.
+    shape = (2, 4, s, 64)
+    q, k, v = (_rand(rng, shape, dt) for _ in range(3))
+    pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+    got = p_attn.flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
+                                 jnp.pad(v, pad), seq_len=s, interpret=True)
+    want = R.attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got[:, :, :s], np.float32),
+                               np.asarray(want, np.float32),
+                               atol=_tol(dt, 2e-5, 2e-2))
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
+def test_flash_attention_seq_len_multi_kv_blocks(rng):
+    # seq_len masking through the online-softmax (multi K tile) path.
+    s, sp = 577, 592
+    shape = (1, 2, s, 64)
+    q, k, v = (_rand(rng, shape, jnp.float32) for _ in range(3))
+    pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+    got = p_attn.flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
+                                 jnp.pad(v, pad), seq_len=s,
+                                 block_q=128, block_k=128, interpret=True)
+    want = R.attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got[:, :, :s]), np.asarray(want),
+                               atol=2e-5)
+
+
 def test_flash_attention_multi_kv_blocks(rng):
     # Force several sequential K/V tiles to exercise the online-softmax
     # recurrence (not just the single-block fast case).

@@ -61,6 +61,26 @@ def test_train_step_on_mesh(data, model):
     assert np.isfinite(float(loss2)) and float(loss2) != float(loss)
 
 
+def test_train_step_pallas_dp_on_mesh():
+    """Batch-DP training on the pallas kernel tier (shard_map + pmean):
+    grads must equal the single-device pallas step's."""
+    mesh = make_mesh(data=8, model=1)
+    params, px, labels = _setup(mesh, batch=8)
+    init_fn, step_fn = make_train_step(TINY, impl="pallas", mesh=mesh)
+    opt_state = init_fn(params)
+    params_dp, _, loss_dp = step_fn(
+        jax.tree.map(jnp.copy, params), opt_state, px, labels)
+
+    init1, step1 = make_train_step(TINY, impl="pallas")
+    opt1 = init1(jax.device_get(params))
+    params_1, _, loss_1 = step1(jax.device_get(params), opt1,
+                                jax.device_get(px), jax.device_get(labels))
+    assert np.isfinite(float(loss_dp))
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as g
     fn, args = g.entry()

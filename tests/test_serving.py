@@ -39,6 +39,37 @@ def test_outputs_match_direct_forward(pred, n, rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_mesh_bucket_rounding(pred):
+    from vit_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, model=1)
+    p = Predictor(pred.params, CFG, buckets=(1, 2, 4, 6), mesh=mesh)
+    assert p.buckets == (4, 8)  # rounded up to multiples of data=4
+
+
+@pytest.mark.parametrize("data,model,impl", [(8, 1, "xla"), (4, 2, "xla"),
+                                             (8, 1, "pallas")])
+def test_mesh_serving_matches_single_device(pred, rng, data, model, impl):
+    """Sharded forward (GSPMD for xla, shard_map batch-DP for pallas) must
+    equal the single-device result — SURVEY.md §2.6's fan-out entry point."""
+    from vit_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=data, model=model)
+    p = Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl=impl)
+    px = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(p(px))
+    want = np.asarray(vit.forward(pred.params, jnp.asarray(px), CFG))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_mesh_serving_pallas_rejects_tp(pred):
+    from vit_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    with pytest.raises(AssertionError, match="batch only"):
+        Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl="pallas")
+
+
 def test_padding_images_do_not_leak(pred, rng):
     # Same image must produce identical output whether padded or not.
     px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)

@@ -1,0 +1,60 @@
+"""Autotune table: record/lookup round trip + kernel consultation."""
+
+import jax.numpy as jnp
+import pytest
+
+from vit_tpu.ops.pallas import tuning
+from vit_tpu.ops.pallas.matmul import _pick_blocks
+
+
+@pytest.fixture
+def tmp_table(tmp_path, monkeypatch):
+    path = str(tmp_path / "tuned.json")
+    monkeypatch.setattr(tuning, "_PATH", path)
+    tuning._load_cached.cache_clear()
+    yield path
+    tuning._load_cached.cache_clear()
+
+
+def test_record_lookup_roundtrip(tmp_table):
+    assert tuning.lookup("matmul", jnp.bfloat16, (64, 128, 256)) is None
+    tuning.record("matmul", jnp.bfloat16, (64, 128, 256),
+                  {"bm": 64, "bn": 128, "bk": 256}, extra={"ms": 0.1})
+    hit = tuning.lookup("matmul", jnp.bfloat16, (64, 128, 256))
+    assert hit["bm"] == 64 and hit["_meta"]["ms"] == 0.1
+    # dtype is part of the key
+    assert tuning.lookup("matmul", jnp.float32, (64, 128, 256)) is None
+
+
+def test_wildcard_leading_dim(tmp_table):
+    tuning.record("matmul", jnp.bfloat16, (0, 128, 256), {"bm": 512,
+                                                          "bn": 128,
+                                                          "bk": 256})
+    hit = tuning.lookup("matmul", jnp.bfloat16, (9999, 128, 256))
+    assert hit["bm"] == 512
+    # exact beats wildcard
+    tuning.record("matmul", jnp.bfloat16, (9999, 128, 256), {"bm": 256,
+                                                             "bn": 128,
+                                                             "bk": 128})
+    assert tuning.lookup("matmul", jnp.bfloat16, (9999, 128, 256))["bm"] == 256
+
+
+def test_pick_blocks_consults_table_and_clamps(tmp_table):
+    tuning.record("matmul", jnp.bfloat16, (0, 768, 768),
+                  {"bm": 1024, "bn": 768, "bk": 768})
+    # m smaller than the tuned bm: clamp to round_up(m, 128)
+    bm, bn, bk = _pick_blocks(208, 768, 768, 2)
+    assert (bm, bn, bk) == (256, 768, 768)
+    # bk not dividing k: table entry rejected, heuristics take over
+    bm2, bn2, bk2 = _pick_blocks(208, 768, 1024, 2)
+    assert 1024 % bk2 == 0
+
+
+def test_pick_blocks_heuristic_vmem_bound():
+    # No table: heuristic picks must keep the live-VMEM estimate sane.
+    for m, n, k, it in [(6656, 3072, 768, 2), (6656, 768, 3072, 4),
+                        (208, 2304, 768, 2), (4096, 4096, 4096, 4)]:
+        bm, bn, bk = _pick_blocks(m, n, k, it)
+        assert k % bk == 0
+        live = 2 * (bm * bk + bk * bn) * it + bm * bn * (4 + 2 * it)
+        assert live < 12 * 2**20, (m, n, k, it, bm, bn, bk, live)

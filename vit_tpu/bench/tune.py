@@ -1,0 +1,261 @@
+"""Offline block-config sweep — the TPU answer to the reference's autotuner.
+
+The reference searches 25 matmul configs / 18 add configs *in-process* at
+first call (reference vit/kernels/matmul.py:10-39, add.py:7-29), caching per
+(M,N,K) key for the life of the process. On this platform a Pallas compile
+goes through a remote compile service and can take minutes, so the search
+must be offline: this CLI sweeps candidate configs per model shape on a real
+chip, times each with the chained-slope harness, and persists winners to
+``vit_tpu/ops/pallas/tuned_configs.json`` (consulted by ``_pick_blocks`` /
+``_pick_group`` at trace time). A sweep log with every measured config goes
+to ``benchmarks/tune/``.
+
+Usage (on TPU):
+    python -m vit_tpu.bench.tune --op matmul --dtype bfloat16 --batches 32
+    python -m vit_tpu.bench.tune --op flash  --dtype bfloat16 --batches 32 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from vit_tpu.config import ViTConfig
+from vit_tpu.ops.pallas import tuning
+from vit_tpu.ops.pallas.common import round_up
+from vit_tpu.utils.timing import NoisyTimingError, bench_chained
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------- candidates
+
+def matmul_candidates(m: int, n: int, kp: int, dtype, limit: int):
+    """Safe (bm, bn, bk) candidates ranked by a simple time model.
+
+    Model: ``steps x step_overhead + padded_flops / mxu_peak`` — the two
+    measured v5e effects are a ~1.5us per-grid-step pipeline bubble (fewer,
+    deeper steps win) and tile-quantization waste (6656 rows split as
+    8 x 832 wastes nothing; 7 x 1024 wastes 7.7%), so even-split block sizes
+    are included alongside the usual powers. VMEM-bounded well below the
+    ceiling — allocator-pathological configs HANG this platform's compile
+    service; bk always divides kp (K edges are never masked).
+    """
+    it = jnp.dtype(dtype).itemsize
+    # bf16 compiles have been safe well past the conservative heuristic
+    # budget; fp32 stays low (allocator-pathological compile-hang risk).
+    cap = (int(11.5 * 2**20)) if it <= 2 else (6 * 2**20)
+    mp, np_ = round_up(m, 128), round_up(n, 128)
+    bms = {min(b, mp) for b in (256, 512, 640, 768, 1024)}
+    bms |= {m // s for s in (2, 4, 8, 13, 16, 26)
+            if m % s == 0 and (m // s) % 16 == 0 and 256 <= m // s <= 2048}
+    bns = {min(b, np_) for b in (256, 512, 768, 1024, 1536)}
+    bns |= {n // s for s in (1, 2, 3) if n % s == 0
+            and (n // s) % 128 == 0 and n // s <= 2304}
+    bks = [b for b in range(128, kp + 1, 128) if kp % b == 0]
+    if len(bks) > 4:  # keep the deepest few — shallow K revisits lose
+        bks = bks[-4:]
+
+    peak = 1.8e14 if it <= 2 else 4.5e13  # ~v5e sustained MXU
+    step_ovh = 1.5e-6
+
+    cands = []
+    for bm, bn, bk in itertools.product(sorted(bms), sorted(bns), bks):
+        acc = bm * bn * 4 if bk < kp else 0  # nk==1 kernels skip the acc
+        vmem = 2 * (bm * bk + bk * bn) * it + acc + 2 * bm * bn * it
+        if vmem >= cap:
+            continue
+        steps = -(-m // bm) * -(-n // bn) * (kp // bk)
+        padded_flops = 2 * (-(-m // bm) * bm) * (-(-n // bn) * bn) * kp
+        est = steps * step_ovh + padded_flops / peak
+        cands.append((est, bm, bn, bk))
+    cands.sort()
+    return [(bm, bn, bk) for _, bm, bn, bk in cands[:limit]]
+
+
+def flash_group_candidates(bh: int, sp: int, d: int, dtype):
+    it = jnp.dtype(dtype).itemsize
+    per_head = 4 * sp * d * it * 2 + sp * sp * 4
+    cap = 10 * 2**20
+    return [g for g in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48)
+            if bh % g == 0 and g * per_head < cap]
+
+
+# ---------------------------------------------------------------- measuring
+
+def _bench(step, args=()) -> float:
+    return bench_chained(step, lengths=(4, 12, 20), reps=3, args=args)
+
+
+def sweep_matmul(m: int, n: int, k: int, dtype, limit: int):
+    from vit_tpu.ops.pallas.matmul import matmul
+
+    kp = round_up(k, 128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, dtype)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.1, dtype)
+    b = jnp.asarray(rng.standard_normal(n) * 0.1, dtype)
+
+    def step(c, x, w, b):
+        out = matmul(x * (1 + c * 1e-30).astype(dtype), w, b)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for bm, bn, bk in matmul_candidates(m, n, kp, dtype, limit):
+        os.environ["VIT_TPU_MM_BLOCKS"] = f"{bm},{bn},{bk}"
+        t0 = time.time()
+        try:
+            ms = _bench(step, (x, w, b))
+        except NoisyTimingError as e:
+            log(f"  ({bm},{bn},{bk}) NOISY: {e}")
+            continue
+        finally:
+            os.environ.pop("VIT_TPU_MM_BLOCKS", None)
+        tflops = 2 * m * n * kp / 1e12 / (ms / 1e3)
+        rows.append({"bm": bm, "bn": bn, "bk": bk, "ms": ms,
+                     "tflops": tflops})
+        log(f"  ({bm},{bn},{bk}) {ms:.4f} ms = {tflops:.1f} TF/s "
+            f"[{time.time() - t0:.0f}s]")
+    return rows
+
+
+def sweep_flash(bh: int, s: int, d: int, dtype):
+    from vit_tpu.ops.pallas.attention import flash_attention
+
+    sp = round_up(s, 16)
+    rng = np.random.default_rng(0)
+    shape = (1, bh, sp, d)  # pre-padded, like the model path
+    q = jnp.asarray(rng.standard_normal(shape), dtype)
+    k = jnp.asarray(rng.standard_normal(shape), dtype)
+    v = jnp.asarray(rng.standard_normal(shape), dtype)
+
+    def step(c, q, k, v):
+        out = flash_attention(q * (1 + c * 1e-30).astype(dtype), k, v,
+                              seq_len=s)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for g in flash_group_candidates(bh, sp, d, dtype):
+        os.environ["VIT_TPU_ATTN_GROUP"] = str(g)
+        t0 = time.time()
+        try:
+            ms = _bench(step, (q, k, v))
+        except NoisyTimingError as e:
+            log(f"  group={g} NOISY: {e}")
+            continue
+        finally:
+            os.environ.pop("VIT_TPU_ATTN_GROUP", None)
+        tflops = 4 * bh * s * s * d / 1e12 / (ms / 1e3)
+        rows.append({"group": g, "ms": ms, "tflops": tflops})
+        log(f"  group={g} {ms:.4f} ms = {tflops:.1f} TF/s "
+            f"[{time.time() - t0:.0f}s]")
+    return rows
+
+
+# ------------------------------------------------------------------- driver
+
+def model_matmul_shapes(cfg: ViTConfig, batch: int) -> list[tuple[int, int, int]]:
+    sp = round_up(cfg.seq_len, 16)
+    m, d, mlp = batch * sp, cfg.hidden_dim, cfg.mlp_dim
+    return [
+        (m, 3 * d, d),            # fused QKV
+        (m, d, d),                # attention output projection
+        (m, mlp, d),              # fc1 (+gelu)
+        (m, d, mlp),              # fc2
+        (batch * cfg.num_patches, d, cfg.patch_dim),  # patch embed
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--op", default="all", choices=["matmul", "flash", "all"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--batches", type=int, nargs="+", default=[32])
+    ap.add_argument("--limit", type=int, default=10,
+                    help="max matmul configs per shape")
+    ap.add_argument("--squares", type=int, nargs="*", default=[],
+                    help="extra square MxNxK shapes to tune (e.g. 4096)")
+    ap.add_argument("--wildcard-batch", type=int, default=32,
+                    help="batch whose winners also become m=0 wildcards")
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = ViTConfig(dtype=dtype)
+    sweep_log: dict = {"dtype": args.dtype, "device": str(jax.devices()[0]),
+                       "sweeps": []}
+
+    if args.op in ("matmul", "all"):
+        shapes = []
+        for b in args.batches:
+            for shp in model_matmul_shapes(cfg, b):
+                shapes.append((shp, b == args.wildcard_batch))
+        for s in args.squares:
+            shapes.append(((s, s, s), False))
+        seen = set()
+        for (m, n, k), wildcard in shapes:
+            if (m, n, k) in seen:
+                continue
+            seen.add((m, n, k))
+            kp = round_up(k, 128)
+            log(f"[matmul {args.dtype}] m={m} n={n} k={k} (kp={kp})")
+            rows = sweep_matmul(m, n, k, dtype, args.limit)
+            if not rows:
+                continue
+            best = min(rows, key=lambda r: r["ms"])
+            meta = {"ms": round(best["ms"], 6),
+                    "tflops": round(best["tflops"], 1)}
+            val = {"bm": best["bm"], "bn": best["bn"], "bk": best["bk"]}
+            tuning.record("matmul", dtype, (m, n, kp), val, extra=meta)
+            if wildcard:
+                tuning.record("matmul", dtype, (0, n, kp), val, extra=meta)
+            sweep_log["sweeps"].append(
+                {"op": "matmul", "shape": [m, n, kp], "rows": rows})
+            log(f"  -> winner ({best['bm']},{best['bn']},{best['bk']}) "
+                f"{best['tflops']:.1f} TF/s")
+
+    if args.op in ("flash", "all"):
+        sp = round_up(cfg.seq_len, 16)
+        for b in args.batches:
+            bh = b * cfg.num_heads
+            log(f"[flash {args.dtype}] bh={bh} s={cfg.seq_len} (sp={sp}) "
+                f"d={cfg.head_dim}")
+            rows = sweep_flash(bh, cfg.seq_len, cfg.head_dim, dtype)
+            if not rows:
+                continue
+            best = min(rows, key=lambda r: r["ms"])
+            meta = {"ms": round(best["ms"], 6),
+                    "tflops": round(best["tflops"], 1)}
+            tuning.record("flash", dtype, (bh, sp, cfg.head_dim),
+                          {"group": best["group"]}, extra=meta)
+            if b == args.wildcard_batch:
+                tuning.record("flash", dtype, (0, sp, cfg.head_dim),
+                              {"group": best["group"]}, extra=meta)
+            sweep_log["sweeps"].append(
+                {"op": "flash", "shape": [bh, sp, cfg.head_dim], "rows": rows})
+            log(f"  -> winner group={best['group']} {best['tflops']:.1f} TF/s")
+
+    os.makedirs("benchmarks/tune", exist_ok=True)
+    path = f"benchmarks/tune/sweep_{args.op}_{args.dtype}.json"
+    with open(path, "w") as f:
+        json.dump(sweep_log, f, indent=1)
+    log(f"sweep log -> {path}; winners -> {tuning._PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,15 +104,21 @@ def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
 def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
                   impl: str | None = None,
                   attention: str = "flash",
-                  fused: bool = True) -> jax.Array:
+                  fused: bool = True,
+                  seq_len: int | None = None) -> jax.Array:
     """One pre-LN transformer block (reference vit/vit.py:114-149).
 
     ``lp`` holds this layer's slice of the stacked encoder params.
     ``fused=True`` applies the LN->matmul and matmul->residual fusions
     (single kernel passes on the pallas path; identical math either way);
     ``fused=False`` keeps the reference's one-op-per-kernel chain.
+    ``seq_len``: real token count when ``x`` is padded along S (see
+    :func:`forward`) — padded keys are masked inside attention; every other
+    op is row-wise, so garbage rows stay isolated.
     """
     b, s, d = x.shape
+    if seq_len is None:
+        seq_len = s
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layernorm_eps
 
@@ -139,10 +145,15 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
         attention = "unfused"
 
     if attention == "flash":
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        ctx = ops.flash_attention(q, k, v, scale=hd ** -0.5, impl=impl)
+        # One transpose for all three operands: (B,S,3,H,d) -> (3,B,H,S,d).
+        # With S pre-padded to a sublane multiple the kernel's rows view is
+        # then a pure reshape — no per-call pad/copy.
+        q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+        ctx = ops.flash_attention(q, k, v, scale=hd ** -0.5,
+                                  seq_len=seq_len, impl=impl)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     elif attention == "unfused":
+        assert seq_len == s, "unfused attention does not support padded S"
         # The reference's exact op chain, batched over heads: QK^T/sqrt(d)
         # via matmul3 -> softmax -> matmul3 (reference vit/vit.py:66-72).
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -162,6 +173,15 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
     return lin(h, lp["fc2"], res=x)
 
 
+def _padded_seq(cfg: ViTConfig, impl: str | None, attention: str) -> int:
+    """Encoder token count: sublane-aligned (16) on the pallas flash path —
+    197 -> 208 for B/16, 257 -> 272 for H/14, 577 -> 592 for L/16-384 —
+    real length everywhere else (XLA handles ragged shapes itself)."""
+    if attention == "flash" and ops.resolve_impl(impl) == "pallas":
+        return -(-cfg.seq_len // 16) * 16
+    return cfg.seq_len
+
+
 def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
             impl: str | None = None,
             attention: str = "flash",
@@ -175,14 +195,24 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
     - logits (B, num_classes)            — ``num_classes > 0``.
     """
     x = embed(params, pixels, cfg, impl=impl)
+    s, sp = cfg.seq_len, _padded_seq(cfg, impl, attention)
+    if sp != s:
+        # Run the WHOLE encoder at a sublane-aligned token count: padded
+        # rows are exact zeros here, every encoder op is row-wise (padded
+        # attention keys are masked in-kernel), and the pad is sliced off
+        # after the final LN. This is what lets every matmul see fully
+        # aligned tiles and the flash kernel skip its per-call pad pass.
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     def body(x, lp):
         return encoder_block(x, lp, cfg, impl=impl, attention=attention,
-                             fused=fused), None
+                             fused=fused, seq_len=s), None
 
     x, _ = jax.lax.scan(body, x, params["encoder"])
     x = ops.layernorm(x, params["ln_final"]["scale"], params["ln_final"]["bias"],
                       eps=cfg.layernorm_eps, impl=impl)
+    if sp != s:
+        x = x[:, :s]
 
     if cfg.num_classes:
         pooled = x[:, 0] if cfg.pooling in ("none", "cls") else jnp.mean(x, axis=1)
@@ -210,18 +240,20 @@ def forward_with_intermediates(params: Params, pixels: jax.Array,
     ``ViTModel(..., output_hidden_states=True)``.
     """
     x = embed(params, pixels, cfg, impl=impl)
+    s, sp = cfg.seq_len, _padded_seq(cfg, impl, attention)
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
 
     def body(x, lp):
         y = encoder_block(x, lp, cfg, impl=impl, attention=attention,
-                          fused=fused)
+                          fused=fused, seq_len=s)
         return y, y
 
-    final, layer_outs = jax.lax.scan(body, x, params["encoder"])
-    hiddens = [x] + [layer_outs[i] for i in range(cfg.num_layers)]
+    final, layer_outs = jax.lax.scan(body, xp, params["encoder"])
+    hiddens = [x] + [layer_outs[i][:, :s] for i in range(cfg.num_layers)]
     final = ops.layernorm(final, params["ln_final"]["scale"],
                           params["ln_final"]["bias"],
                           eps=cfg.layernorm_eps, impl=impl)
-    return final, hiddens
+    return final[:, :s], hiddens
 
 
 def make_forward(cfg: ViTConfig, *, impl: str | None = None,

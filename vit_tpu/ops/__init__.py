@@ -29,24 +29,24 @@ def add(x, y, *, impl=None, interpret=None):
     """Elementwise add (reference vit/kernels/add.py equivalent)."""
     if resolve_impl(impl) == "xla":
         return reference.add(x, y)
-    from vit_tpu.ops.pallas import add as _k
-    return _k.add(x, y, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.add(x, y, interpret_mode(interpret))
 
 
 def layernorm(x, scale, bias, *, eps=1e-12, impl=None, interpret=None):
     """Row layernorm (reference vit/kernels/layernorm.py equivalent)."""
     if resolve_impl(impl) == "xla":
         return reference.layernorm(x, scale, bias, eps=eps)
-    from vit_tpu.ops.pallas import layernorm as _k
-    return _k.layernorm(x, scale, bias, eps=eps, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.layernorm(x, scale, bias, eps, interpret_mode(interpret))
 
 
 def softmax(x, *, impl=None, interpret=None):
     """Row softmax over the last axis (reference vit/kernels/softmax.py)."""
     if resolve_impl(impl) == "xla":
         return reference.softmax(x)
-    from vit_tpu.ops.pallas import softmax as _k
-    return _k.softmax(x, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.softmax(x, interpret_mode(interpret))
 
 
 def matmul(x, w, bias=None, activation=None, *, impl=None, interpret=None):
@@ -76,18 +76,17 @@ def fused_linear(x, w, bias=None, activation=None, *, ln_scale=None,
              if ln_scale is not None else x)
         out = reference.matmul(h, w, bias, activation)
         return reference.add(out, residual) if residual is not None else out
-    from vit_tpu.ops.pallas import matmul as _k
-    return _k.fused_linear(x, w, bias, activation, ln_scale=ln_scale,
-                           ln_bias=ln_bias, eps=eps, residual=residual,
-                           interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.fused_linear(x, w, bias, ln_scale, ln_bias, residual,
+                           activation, eps, interpret_mode(interpret))
 
 
 def matmul3(x, y, *, scale=None, impl=None, interpret=None):
     """(B,M,K)@(B,K,N) + fused scaling (reference vit/kernels/matmul3.py)."""
     if resolve_impl(impl) == "xla":
         return reference.matmul3(x, y, scale=scale)
-    from vit_tpu.ops.pallas import matmul3 as _k
-    return _k.matmul3(x, y, scale=scale, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.matmul3(x, y, scale, interpret_mode(interpret))
 
 
 def patchify(x, patch_size, *, impl=None, interpret=None):
@@ -103,18 +102,20 @@ def patch_embed(x, w, bias, patch_size, *, impl=None, interpret=None):
     equivalent, via the layout its roadmap targets — SURVEY.md §7)."""
     if resolve_impl(impl) == "xla":
         return reference.patch_embed(x, w, bias, patch_size)
-    from vit_tpu.ops.pallas import patch_embed as _k
-    return _k.patch_embed(x, w, bias, patch_size, interpret=interpret_mode(interpret))
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.patch_embed(x, w, bias, patch_size, interpret_mode(interpret))
 
 
-def flash_attention(q, k, v, *, scale=None, impl=None, interpret=None):
+def flash_attention(q, k, v, *, scale=None, seq_len=None, impl=None,
+                    interpret=None):
     """Fused multi-head attention, (B,H,S,d) layout.
 
     Pallas path is a blockwise online-softmax (flash) kernel; XLA path is the
     unfused scores->softmax->context chain equivalent to the reference's
     matmul3/softmax/matmul3 sequence (reference vit/vit.py:66-72).
+    ``seq_len`` marks the real token count for pre-padded operands.
     """
     if resolve_impl(impl) == "xla":
-        return reference.attention(q, k, v, scale=scale)
-    from vit_tpu.ops.pallas import attention as _k
-    return _k.flash_attention(q, k, v, scale=scale, interpret=interpret_mode(interpret))
+        return reference.attention(q, k, v, scale=scale, seq_len=seq_len)
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.attention(q, k, v, scale, seq_len, interpret_mode(interpret))

@@ -59,9 +59,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                             precision=precision) * scale
 
     # Mask padded key columns (global kv index >= seq_len) to -inf. Static
-    # gate: only needed when seq_len is not a tile multiple (K/V rows are
-    # zero-padded in the launcher, so the reads themselves are defined).
-    if seq_len % block_k != 0:
+    # gate: only needed when the padded K extent exceeds the real length
+    # (K/V rows are zero-padded in the launcher, so reads are defined).
+    if nk * block_k != seq_len:
         col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < seq_len, s, _NEG_INF)
 
@@ -107,17 +107,24 @@ def _flash_group_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[g * sp:(g + 1) * sp, :] = (ctx / l).astype(o_ref.dtype)
 
 
-def _pick_group(bh: int, sp: int, d: int, itemsize: int,
+def _pick_group(bh: int, sp: int, d: int, dtype,
                 budget: int = 8 * 2**20) -> int:
-    """Heads per grid step: as many as divide B*H and fit the VMEM budget
-    (4 streams double-buffered + fp32 score tile per head).
-    ``VIT_TPU_ATTN_GROUP`` overrides for tuning."""
+    """Heads per grid step: ``VIT_TPU_ATTN_GROUP`` env override -> persisted
+    autotune table (vit_tpu/ops/pallas/tuning.py) -> as many heads as divide
+    B*H and fit the VMEM budget (4 streams double-buffered + fp32 score tile
+    per head)."""
     import os
     override = os.environ.get("VIT_TPU_ATTN_GROUP")
     if override:
         return int(override)
-    per_head = 4 * sp * d * itemsize * 2 + sp * sp * 4
-    g = max(1, min(bh, budget // per_head, 16))
+    from vit_tpu.ops.pallas import tuning
+    hit = tuning.lookup("flash", dtype, (bh, sp, d))
+    if hit is not None:
+        g = min(int(hit["group"]), bh)
+    else:
+        itemsize = jnp.dtype(dtype).itemsize
+        per_head = 4 * sp * d * itemsize * 2 + sp * sp * 4
+        g = max(1, min(bh, budget // per_head, 16))
     while bh % g:
         g -= 1
     return g
@@ -125,28 +132,39 @@ def _pick_group(bh: int, sp: int, d: int, itemsize: int,
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float | None = None,
+                    seq_len: int | None = None,
                     block_q: int = 256, block_k: int = 256,
                     interpret: bool = False) -> jax.Array:
     """Softmax(q @ k^T * scale) @ v for (B, H, S, d) operands.
 
+    ``seq_len``: the number of REAL tokens when the operands arrive already
+    zero-padded along S (the model pads the whole encoder to a sublane
+    multiple so this kernel's rows view is a free reshape — see
+    vit_tpu/models/vit.py). Keys past ``seq_len`` are masked to -inf;
+    queries past it produce garbage rows the caller slices off.
+
     Two regimes:
-    - ``S <= block_k`` (every ViT variant up to H/14): single K tile per
-      head, plain softmax, multiple heads per grid step
-      (:func:`_flash_group_kernel`).
-    - longer sequences (L/16-384's 577 tokens and beyond): blockwise
-      online-softmax recurrence (:func:`_flash_kernel`), O(block) memory.
+    - single-tile (every ViT variant up to L/16-384): the whole padded
+      sequence is one K tile per head, plain softmax, multiple heads per
+      grid step (:func:`_flash_group_kernel`). S pads to a *sublane*
+      multiple (16), not a lane multiple — 197 -> 208, not 256: the MXU
+      rounds to 128 lanes internally either way, but HBM traffic follows
+      the stored shape.
+    - longer sequences: blockwise online-softmax recurrence
+      (:func:`_flash_kernel`), O(block) memory.
     """
     assert q.shape == k.shape == v.shape, (q.shape, k.shape, v.shape)
     b, h, s, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    if seq_len is None:
+        seq_len = s
+    assert seq_len <= s, (seq_len, s)
 
-    sp_min = round_up(s, 128)
+    sp_min = round_up(s, 16)
     if sp_min <= max(block_q, 768):
-        # Single-tile regime: make the tile exactly the padded sequence so
-        # the grouped fast path applies (e.g. S=257 -> 384, not 2x256;
-        # covers every BASELINE variant incl. L/16-384's 577 tokens — the
-        # fp32 score tile for 768 rows is 2.3MB, well within VMEM).
+        # Single-tile regime: tile = the whole padded sequence (the fp32
+        # score tile for 768 rows is 2.3MB, well within VMEM).
         bq = bk = sp_min
     else:
         bq = min(block_q, sp_min)
@@ -165,9 +183,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if sq == sk == bq == bk:
         # Fast path: one K tile per head; group heads per grid step.
         sp = sq
-        group = _pick_group(bh, sp, d, q.dtype.itemsize)
+        group = _pick_group(bh, sp, d, q.dtype)
         kernel = functools.partial(_flash_group_kernel, scale=scale,
-                                   seq_len=s, sp=sp, group=group,
+                                   seq_len=seq_len, sp=sp, group=group,
                                    precision=_dot_precision(q.dtype))
         spec = pl.BlockSpec((group * sp, d), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
@@ -193,7 +211,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qb, kb = sq // bq, sk // bk  # tiles per (batch, head) segment
     nk = kb
 
-    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=seq_len,
                                block_k=bk, nk=nk,
                                precision=_dot_precision(q.dtype))
     out = pl.pallas_call(

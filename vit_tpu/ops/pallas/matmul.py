@@ -67,19 +67,49 @@ def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk: int,
         o_ref[:] = r.astype(o_ref.dtype)
 
 
+def _matmul_kernel_nk1(x_ref, w_ref, b_ref, o_ref, *,
+                       activation: str | None, has_bias: bool, precision):
+    """Full-K tile (nk == 1): the whole product lands in one MXU pass — no
+    VMEM accumulator, no revisit branches, one store. Every ViT model matmul
+    (K = 768/3072) takes this path; the deep-tile preference exists because
+    per-grid-step pipeline setup dominates shallow revisited tiles on v5e."""
+    r = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    if has_bias:
+        r = r + b_ref[:].astype(jnp.float32)
+    if activation == "gelu":
+        r = gelu(r)
+    o_ref[:] = r.astype(o_ref.dtype)
+
+
 def _pick_blocks(m: int, n: int, k: int, itemsize: int):
     """(bm, bn, bk) sized for the MXU with ~<6MB of VMEM live.
 
-    The budget is deliberately conservative: Mosaic double-buffers the in/out
-    streams on top of the accumulator, and configs near the VMEM ceiling
-    (e.g. 512x512x768 fp32) send its allocator into pathological compile
-    times on v5e.
+    Resolution order: ``VIT_TPU_MM_BLOCKS`` env override -> persisted
+    autotune table (vit_tpu/ops/pallas/tuning.py, winners from
+    ``python -m vit_tpu.bench.tune`` — the offline equivalent of the
+    reference's 25-config in-process search, reference
+    vit/kernels/matmul.py:10-39) -> static heuristics.
+
+    The heuristic budget is deliberately conservative: Mosaic double-buffers
+    the in/out streams on top of the accumulator, and configs near the VMEM
+    ceiling (e.g. 512x512x768 fp32) send its allocator into pathological
+    compile times on v5e.
     """
     import os
     override = os.environ.get("VIT_TPU_MM_BLOCKS")
     if override:  # manual tuning escape hatch: "bm,bn,bk"
         bm, bn, bk = (int(v) for v in override.split(","))
         return bm, bn, bk
+
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("matmul", dtype, (m, n, k))
+    if hit is not None and k % hit["bk"] == 0:
+        # Clamp to this call's extent (wildcard entries are tuned at one m).
+        return (min(hit["bm"], round_up(m, 128)),
+                min(hit["bn"], round_up(n, 128)), hit["bk"])
 
     # Tuned on v5e (bs=32 ViT-B shapes, see round-1 sweep): per-grid-step
     # pipeline setup is ~us-scale, so deep full-K tiles (nk=1 where
@@ -104,9 +134,11 @@ def _pick_blocks(m: int, n: int, k: int, itemsize: int):
 
     bk = bk_for(bk_cap)
     # Live VMEM ~ 2*(bm*bk + bk*bn)*itemsize (double-buffered streams)
-    # + bm*bn*4 (accumulator) + 2*bm*bn*itemsize (double-buffered output).
+    # + bm*bn*4 (fp32 accumulator — only when K is revisited, see
+    # _matmul_kernel_nk1) + 2*bm*bn*itemsize (double-buffered output).
     while (2 * (bm * bk + bk * bn) * itemsize
-           + bm * bn * (4 + 2 * itemsize)) >= budget:
+           + (bm * bn * 4 if bk < k else 0)
+           + 2 * bm * bn * itemsize) >= budget:
         if bm >= bn and bm > 128:
             bm //= 2
         elif bn > 128:
@@ -142,26 +174,50 @@ def matmul(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     b2d = (bias if has_bias else jnp.zeros((), x.dtype)).reshape(1, -1) \
         if has_bias else jnp.zeros((1, n), x.dtype)
 
-    kernel = functools.partial(_matmul_kernel, nk=nk, activation=activation,
-                               has_bias=has_bias,
-                               precision=_dot_precision(x.dtype))
-    out = pl.pallas_call(
-        kernel,
-        grid=(cdiv(m, bm), cdiv(n, bn), nk),
-        in_specs=[
+    if nk == 1:
+        kernel = functools.partial(_matmul_kernel_nk1, activation=activation,
+                                   has_bias=has_bias,
+                                   precision=_dot_precision(x.dtype))
+        grid = (cdiv(m, bm), cdiv(n, bn))
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        scratch = []
+        semantics = ("parallel", "parallel")
+    else:
+        kernel = functools.partial(_matmul_kernel, nk=nk,
+                                   activation=activation, has_bias=has_bias,
+                                   precision=_dot_precision(x.dtype))
+        grid = (cdiv(m, bm), cdiv(n, bn), nk)
+        in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+        semantics = ("parallel", "parallel", "arbitrary")
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=semantics),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * kp,
             bytes_accessed=(m * kp + kp * n + m * n) * x.dtype.itemsize,
@@ -214,6 +270,36 @@ def _fused_linear_kernel(*refs, nk: int, activation: str | None,
         if has_res:
             r = r + res_ref[:].astype(jnp.float32)
         o_ref[:] = r.astype(o_ref.dtype)
+
+
+def _fused_linear_kernel_nk1(*refs, activation: str | None, has_bias: bool,
+                             has_ln: bool, has_res: bool, precision):
+    """Full-K (nk == 1) fused linear: no accumulator scratch, one store.
+    Operand order as in :func:`_fused_linear_kernel` minus ``acc``."""
+    it = iter(refs)
+    x_ref, w_ref = next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    if has_ln:
+        mu_ref, rs_ref, g_ref, be_ref = (next(it) for _ in range(4))
+    res_ref = next(it) if has_res else None
+    o_ref = next(it)
+
+    x = x_ref[:]
+    if has_ln:
+        xn = (x.astype(jnp.float32) - mu_ref[:]) * rs_ref[:]
+        xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+        x = xn.astype(x_ref.dtype)
+
+    r = jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    if has_bias:
+        r = r + b_ref[:].astype(jnp.float32)
+    if activation == "gelu":
+        r = gelu(r)
+    if has_res:
+        r = r + res_ref[:].astype(jnp.float32)
+    o_ref[:] = r.astype(o_ref.dtype)
 
 
 def fused_linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
@@ -285,10 +371,20 @@ def fused_linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                      memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(
-        _fused_linear_kernel, nk=nk, activation=activation,
-        has_bias=has_bias, has_ln=has_ln, has_res=has_res,
-        precision=_dot_precision(x.dtype))
+    if nk == 1:
+        # Full-K tiles: accumulator-free kernel (see _matmul_kernel_nk1);
+        # the degenerate K grid axis is kept so the specs stay shared.
+        kernel = functools.partial(
+            _fused_linear_kernel_nk1, activation=activation,
+            has_bias=has_bias, has_ln=has_ln, has_res=has_res,
+            precision=_dot_precision(x.dtype))
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _fused_linear_kernel, nk=nk, activation=activation,
+            has_bias=has_bias, has_ln=has_ln, has_res=has_res,
+            precision=_dot_precision(x.dtype))
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(m, bm), cdiv(n, bn), nk),
@@ -296,7 +392,7 @@ def fused_linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(

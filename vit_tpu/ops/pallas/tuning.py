@@ -1,0 +1,85 @@
+"""Persisted autotune table for the Pallas kernel tier.
+
+The reference autotunes 25 block configs per matmul shape at first call
+(reference vit/kernels/matmul.py:10-39) and 18 for add (add.py:7-29) —
+paying a per-process search every run. The TPU equivalent here is an
+*offline* sweep (``python -m vit_tpu.bench.tune`` on a real chip) whose
+winners are persisted to ``tuned_configs.json`` next to this module and
+consulted at trace time; shapes without an entry fall back to the static
+heuristics in each kernel. Offline-search + persisted-table is the idiomatic
+split on TPU: compiles are expensive (minutes through this platform's
+remote compile service), so the search must never run inside a production
+process.
+
+Key format: ``"<op>:<dtype>:<d0>x<d1>x..."``. Conventions per op:
+
+- ``matmul``  — dims ``(m, n, kp)`` (kp = K after lane padding); value
+  ``{"bm", "bn", "bk"}``. A wildcard entry with ``m=0`` matches any m for
+  that (n, kp) — model matmuls share (n, kp) across batch sizes.
+- ``flash``   — dims ``(sp, d)`` (padded seq, head dim); value
+  ``{"group"}``: preferred heads-per-grid-step, clamped to a divisor of
+  B*H at call time.
+- ``matmul3`` — dims ``(mp, kp, n)`` per-batch tile; value ``{"group"}``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax.numpy as jnp
+
+_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tuned_configs.json")
+
+
+def _dtype_tag(dtype) -> str:
+    return jnp.dtype(dtype).name
+
+
+@functools.lru_cache(maxsize=1)
+def _load_cached(mtime: float) -> dict:
+    try:
+        with open(_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def table() -> dict:
+    """The current table (re-read when the file changes on disk)."""
+    try:
+        mtime = os.path.getmtime(_PATH)
+    except OSError:
+        mtime = 0.0
+    return _load_cached(mtime)
+
+
+def key(op: str, dtype, dims: tuple[int, ...]) -> str:
+    return f"{op}:{_dtype_tag(dtype)}:" + "x".join(map(str, dims))
+
+
+def lookup(op: str, dtype, dims: tuple[int, ...]) -> dict | None:
+    """Exact-match lookup, then the leading-dim-0 wildcard (the leading dim
+    is the batch-dependent one for every op: m for matmul, B*H for flash)."""
+    t = table()
+    hit = t.get(key(op, dtype, dims))
+    if hit is None and dims and dims[0] != 0:
+        hit = t.get(key(op, dtype, (0,) + dims[1:]))
+    return hit
+
+
+def record(op: str, dtype, dims: tuple[int, ...], value: dict, *,
+           extra: dict | None = None) -> None:
+    """Persist one winner (used by the tune CLI, never by kernels)."""
+    t = dict(table())
+    entry = dict(value)
+    if extra:
+        entry["_meta"] = extra
+    t[key(op, dtype, dims)] = entry
+    tmp = _PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(t, f, indent=1, sort_keys=True)
+    os.replace(tmp, _PATH)
+    _load_cached.cache_clear()

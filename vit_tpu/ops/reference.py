@@ -173,19 +173,26 @@ def attention(
     v: jax.Array,
     *,
     scale: float | None = None,
+    seq_len: int | None = None,
 ) -> jax.Array:
     """Multi-head scaled-dot-product attention, (B, H, S, d) layout.
 
     The oracle for the fused flash-attention kernel. Equivalent to the
     reference's per-head matmul3 -> softmax -> matmul3 chain
-    (reference vit/vit.py:66-72) but batched over heads. No mask, no dropout
-    (the reference has neither; dropout TODO at reference vit/vit.py:43).
+    (reference vit/vit.py:66-72) but batched over heads. No attention mask /
+    dropout (the reference has neither; dropout TODO at reference
+    vit/vit.py:43) — ``seq_len`` only masks *padding* keys when the operands
+    arrive zero-padded along S (see the flash kernel's contract).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32,
                         precision=_precision(q.dtype)) * scale
+    if seq_len is not None and seq_len != k.shape[2]:
+        kcol = jnp.arange(k.shape[2])
+        scores = jnp.where(kcol[None, None, None, :] < seq_len, scores,
+                           jnp.float32(-jnp.inf))
     probs = softmax(scores)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
                      preferred_element_type=jnp.float32,

@@ -1,4 +1,4 @@
-"""Fixed-shape batch serving.
+"""Fixed-shape batch serving, single-chip or over a device mesh.
 
 The reference's roadmap items 3-4 ("Given a batch size, fix all the tensor
 sizes", "Use CUDA graphs to optimize kernel dispatch time" — reference
@@ -12,6 +12,12 @@ for one shape. This module turns that into a serving layer:
   (largest-first) and padding the remainder up to the smallest bucket that
   fits, slicing pad rows off the result. Padding is exact for ViT: images
   don't attend to each other, so pad images never influence real outputs.
+- ``mesh=`` fans a bucket out across chips (SURVEY.md §2.6's "bs=64 configs
+  fan out across a v5e pod slice"): the XLA tier runs under plain GSPMD
+  (batch-DP x Megatron-TP, collectives inserted by XLA over ICI); the
+  Pallas tier runs under ``jax.shard_map`` batch-DP — each chip executes
+  the unmodified single-device kernels on its batch shard, which needs no
+  cross-chip communication at all for inference.
 """
 
 from __future__ import annotations
@@ -21,9 +27,11 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vit_tpu.config import ViTConfig
 from vit_tpu.models.vit import Params, forward
+from vit_tpu.ops import resolve_impl
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
@@ -33,22 +41,55 @@ class Predictor:
 
     >>> pred = Predictor(params, cfg, buckets=(1, 8, 32))
     >>> out = pred(images)         # any leading batch size
+
+    With a mesh, buckets are rounded up to multiples of the 'data' axis so
+    every chip gets an equal shard:
+
+    >>> mesh = make_mesh(data=4, model=2)
+    >>> pred = Predictor(params, cfg, buckets=(8, 64), mesh=mesh)
     """
 
     def __init__(self, params: Params, cfg: ViTConfig,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, *,
                  impl: str | None = None, attention: str = "flash",
-                 precompile: bool = False):
+                 precompile: bool = False, mesh: Mesh | None = None):
         self.cfg = cfg
-        self.params = params
-        self.buckets = tuple(sorted(set(buckets)))
-        assert self.buckets and all(b > 0 for b in self.buckets)
-        self._fn = jax.jit(
-            lambda p, x: forward(p, x, cfg, impl=impl, attention=attention))
+        self.mesh = mesh
+        assert buckets and all(b > 0 for b in buckets)
+
+        def fwd(p, x):
+            return forward(p, x, cfg, impl=impl, attention=attention)
+
+        if mesh is None:
+            self.buckets = tuple(sorted(set(buckets)))
+            self.params = params
+            self._in_sharding = None
+            self._fn = jax.jit(fwd)
+        else:
+            from vit_tpu.parallel import batch_sharding, param_shardings
+            data = mesh.shape["data"]
+            self.buckets = tuple(sorted({-(-b // data) * data
+                                         for b in buckets}))
+            self.params = jax.device_put(params,
+                                         param_shardings(params, mesh, cfg))
+            self._in_sharding = batch_sharding(mesh)
+            if resolve_impl(impl) == "pallas":
+                # Pallas kernels have no GSPMD partitioning rules — shard the
+                # batch explicitly so each chip runs the single-device
+                # program on its shard (no collectives needed for inference).
+                assert mesh.shape["model"] == 1, (
+                    "pallas serving shards the batch only; use impl='xla' "
+                    "for tensor parallelism")
+                fwd = jax.shard_map(fwd, mesh=mesh,
+                                    in_specs=(P(), P("data")),
+                                    out_specs=P("data"),
+                                    check_vma=False)  # pallas_call carries no vma info
+            self._fn = jax.jit(fwd)
+
         if precompile:
             for b in self.buckets:
                 shape = (b, cfg.num_channels, cfg.image_size, cfg.image_size)
-                self._fn.lower(params, jax.ShapeDtypeStruct(
+                self._fn.lower(self.params, jax.ShapeDtypeStruct(
                     shape, cfg.dtype)).compile()
 
     def _plan(self, n: int) -> list[int]:
@@ -74,6 +115,8 @@ class Predictor:
             if take < b:  # pad the tail bucket
                 pad = jnp.zeros((b - take, *images.shape[1:]), self.cfg.dtype)
                 chunk = jnp.concatenate([chunk, pad], axis=0)
+            if self._in_sharding is not None:
+                chunk = jax.device_put(chunk, self._in_sharding)
             outs.append(self._fn(self.params, chunk)[:take])
             off += take
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -69,7 +69,9 @@ class NoisyTimingError(RuntimeError):
 def bench_chained(step: Callable, *,
                   lengths: tuple[int, ...] = (10, 60, 110), reps: int = 5,
                   warmup: int = 2, args: tuple = (),
-                  max_rel_residual: float = 0.25) -> float:
+                  max_rel_residual: float = 0.25,
+                  min_span_ms: float = 20.0,
+                  max_iters: int = 100_000) -> float:
     """Steady-state per-iteration milliseconds of ``step``.
 
     ``step``: traced fn ``(fp32 scalar carry, *args) -> fp32 scalar carry``.
@@ -80,9 +82,17 @@ def bench_chained(step: Callable, *,
     The per-iteration time is the least-squares slope of median wall-clock
     over >=3 chain lengths (a two-point min-of-reps difference is noise-
     dominated for sub-50us ops and can even go negative — round-1 artifacts
-    published -97 TFLOP/s rows that way). The slope is asserted positive and
-    the fit residual is checked; on a noisy fit the measurement is retried
-    once with doubled lengths/reps before raising :class:`NoisyTimingError`.
+    published -97 TFLOP/s rows that way). Two trust checks, each triggering
+    an automatic re-measure with scaled-up chain lengths:
+
+    - **positivity + residual** of the line fit;
+    - **span**: the modeled compute span ``slope x (max_len - min_len)``
+      must exceed ``min_span_ms`` — this platform's per-call RPC jitter is
+      ms-scale, so a fit whose total signal is sub-ms can be self-consistent
+      yet wildly wrong (round-1 "1.7 TB/s" attention artifacts).
+
+    Raises :class:`NoisyTimingError` if no trustworthy positive slope can be
+    obtained within ``max_iters``-long chains.
 
     Pass large operands (params, inputs) via ``args`` rather than closing
     over them: closed-over arrays are baked into the HLO as constants, which
@@ -123,16 +133,33 @@ def bench_chained(step: Callable, *,
         resid = float(np.abs(ys - pred).max() / scale)
         return slope * 1e3, resid
 
-    slope_ms, resid = measure(lengths, reps)
-    if slope_ms <= 0 or (len(lengths) > 2 and resid > max_rel_residual):
-        # One retry with longer chains (amortizes fixed jitter further).
-        longer = tuple(1 + 2 * (n - 1) for n in lengths)
-        slope_ms, resid = measure(longer, max(reps, 7))
-        if slope_ms <= 0:
-            raise NoisyTimingError(
-                f"non-positive per-iteration time {slope_ms:.6f} ms after "
-                f"retry (lengths={longer}); the op is too fast/noisy for "
-                f"this harness — increase lengths")
+    def scaled(lens: tuple[int, ...], f: float) -> tuple[int, ...]:
+        out, prev = [], 0
+        for n in lens:
+            n = min(max(int(1 + (n - 1) * f), prev + 1), max_iters)
+            out.append(n)
+            prev = n
+        return tuple(out)
+
+    lens, nreps = tuple(lengths), reps
+    for attempt in range(4):
+        slope_ms, resid = measure(lens, nreps)
+        span_ms = slope_ms * (max(lens) - min(lens))
+        bad_fit = slope_ms <= 0 or (len(lens) > 2 and resid > max_rel_residual)
+        too_short = 0 < span_ms < min_span_ms and max(lens) < max_iters
+        if not bad_fit and not too_short:
+            return slope_ms
+        # Scale chains so the compute span comfortably exceeds the jitter.
+        factor = (2.0 if slope_ms <= 0
+                  else max(2.0, 2.0 * min_span_ms / max(span_ms, 1e-6)))
+        lens = scaled(lens, factor)
+        nreps = max(nreps, 5)
+    slope_ms, _ = measure(lens, max(nreps, 7))
+    if slope_ms <= 0:
+        raise NoisyTimingError(
+            f"non-positive per-iteration time {slope_ms:.6f} ms after "
+            f"retries (lengths={lens}); the op is too fast/noisy for "
+            f"this harness")
     return slope_ms
 
 
