@@ -1,0 +1,140 @@
+"""Transformer-block mega-kernel tests (vit_tpu/ops/pallas/block.py).
+
+Parity of the one-kernel-per-sub-block path against the composed op chain
+(interpret mode on CPU), plan gating, and gradient correctness of the
+custom VJPs (backward recomputes through the composed differentiable ops).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu import ops
+from vit_tpu.ops import reference
+from vit_tpu.ops.pallas import block
+
+
+def _mlp_inputs(rng, b=2, s=32, d=256, mlp=512, dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    return (x, arr(d, sc=0.5) + 1, arr(d), arr(d, mlp), arr(mlp),
+            arr(mlp, d), arr(d))
+
+
+def _attn_inputs(rng, b=2, s=32, d=256, heads=4, dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    return (x, arr(d, sc=0.5) + 1, arr(d), arr(d, 3 * d), arr(3 * d),
+            arr(d, d), arr(d))
+
+
+def test_mlp_block_matches_composed():
+    rng = np.random.default_rng(0)
+    x, g, be, w1, b1, w2, b2 = _mlp_inputs(rng)
+    got = ops.mlp_block(x, g, be, w1, b1, w2, b2, impl="pallas")
+    want = ops.mlp_block(x, g, be, w1, b1, w2, b2, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=0)
+
+
+def test_attn_block_matches_composed_with_padding():
+    rng = np.random.default_rng(1)
+    seq_len = 27  # padded rows (27 -> 32) must be masked as keys
+    x, g, be, wqkv, bqkv, wout, bout = _attn_inputs(rng)
+    x = x.at[:, seq_len:].set(0)
+    got = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=4,
+                         seq_len=seq_len, impl="pallas")
+    want = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=4,
+                          seq_len=seq_len, impl="xla")
+    np.testing.assert_allclose(np.asarray(got[:, :seq_len]),
+                               np.asarray(want[:, :seq_len]),
+                               atol=2e-4, rtol=0)
+
+
+def test_attn_block_odd_head_slices():
+    """head_dim 64 < lane width: odd heads slice at unaligned lane offsets
+    inside the kernel — the case the packed layout must get right."""
+    rng = np.random.default_rng(2)
+    x, g, be, wqkv, bqkv, wout, bout = _attn_inputs(rng, d=256, heads=4)
+    got = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=4,
+                         impl="pallas")
+    want = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=4,
+                          impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=0)
+
+
+def test_plans_gate_infeasible_geometry():
+    # Giant weights cannot be VMEM-resident -> no plan -> model falls back.
+    assert block.mlp_block_plan(1024, 8192, 32768, 4) is None
+    # Unaligned hidden dim -> no plan.
+    assert block.mlp_block_plan(1024, 768 + 8, 3072, 2) is None
+    assert block.attn_block_plan(8, 208, 768 + 8, 12, 2) is None
+    # The flagship geometry always has a plan in both dtypes.
+    for itemsize in (2, 4):
+        assert block.mlp_block_plan(6656, 768, 3072, itemsize) is not None
+        assert block.attn_block_plan(32, 208, 768, 12, itemsize) is not None
+
+
+def test_model_uses_block_path():
+    """The fused pallas model path must route through the mega-kernels for
+    the flagship geometry (guards against silent fallback)."""
+    from vit_tpu.config import ViTConfig
+    cfg = ViTConfig()
+    assert ops.block_plans(32, 208, cfg.hidden_dim, cfg.mlp_dim,
+                           cfg.num_heads, 2)
+
+
+def test_mlp_block_grads_match_xla():
+    rng = np.random.default_rng(3)
+    args = _mlp_inputs(rng, b=1, s=16, d=256, mlp=512)
+
+    def loss(impl):
+        def f(*a):
+            out = ops.mlp_block(*a, impl=impl)
+            return jnp.sum(out * out).astype(jnp.float32)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_attn_block_grads_match_xla():
+    rng = np.random.default_rng(4)
+    args = _attn_inputs(rng, b=1, s=32, d=256, heads=4)
+
+    def loss(impl):
+        def f(*a):
+            out = ops.attn_block(*a, num_heads=4, impl=impl)
+            return jnp.sum(out * out).astype(jnp.float32)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=tuple(range(7)))(*args)
+    gx = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_block_model_forward_matches_unfused(dtype):
+    """Full model: fused pallas (block kernels) vs unfused pallas chain."""
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models.vit import forward, init_params
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=256,
+                    num_heads=4, num_layers=2, mlp_dim=512, dtype=dtype)
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    got = forward(params, px, cfg, impl="pallas", attention="flash")
+    want = forward(params, px, cfg, impl="pallas", attention="unfused",
+                   fused=False)
+    tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=tol, rtol=0)

@@ -122,6 +122,24 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layernorm_eps
 
+    if (fused and attention == "flash"
+            and ops.resolve_impl(impl) == "pallas"
+            and ops.block_plans(b, s, d, cfg.mlp_dim, nh, x.dtype.itemsize)):
+        # Mega-kernel path: each half of the block is ONE Pallas kernel with
+        # VMEM-resident weights (vit_tpu/ops/pallas/block.py) — no head
+        # transposes, no LN-stats pass, no HBM round trip for QKV, scores,
+        # context, or the MLP hidden. Identical math to the chain below.
+        x = ops.attn_block(
+            x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+            lp["qkv"]["kernel"], lp["qkv"]["bias"],
+            lp["out"]["kernel"], lp["out"]["bias"],
+            num_heads=nh, scale=hd ** -0.5, seq_len=seq_len, eps=eps,
+            impl=impl)
+        return ops.mlp_block(
+            x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+            lp["fc1"]["kernel"], lp["fc1"]["bias"],
+            lp["fc2"]["kernel"], lp["fc2"]["bias"], eps=eps, impl=impl)
+
     def lin(inp, p, act=None, ln=None, res=None):
         if fused:
             return ops.fused_linear(

@@ -21,6 +21,7 @@ from vit_tpu.ops.reference import gelu, patchify as _patchify_ref
 __all__ = [
     "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
+    "mlp_block", "attn_block", "block_plans",
     "resolve_impl", "interpret_mode", "reference",
 ]
 
@@ -119,3 +120,59 @@ def flash_attention(q, k, v, *, scale=None, seq_len=None, impl=None,
         return reference.attention(q, k, v, scale=scale, seq_len=seq_len)
     from vit_tpu.ops.pallas import vjp as _k
     return _k.attention(q, k, v, scale, seq_len, interpret_mode(interpret))
+
+
+def block_plans(batch: int, seq_pad: int, hidden: int, mlp: int,
+                num_heads: int, itemsize: int):
+    """Whether BOTH transformer-block mega-kernels have a VMEM-feasible plan
+    for this geometry (vit_tpu/ops/pallas/block.py). The model uses this to
+    gate the fused block path; geometries that do not fit fall back to the
+    composed per-op chain."""
+    from vit_tpu.ops.pallas import block as _b
+    return (_b.mlp_block_plan(batch * seq_pad, hidden, mlp, itemsize)
+            is not None
+            and _b.attn_block_plan(batch, seq_pad, hidden, num_heads,
+                                   itemsize) is not None)
+
+
+def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-12,
+              impl=None, interpret=None):
+    """``x + fc2(gelu(fc1(LN(x))))`` — the MLP half of an encoder block.
+
+    Pallas path: one mega-kernel with VMEM-resident weights; the
+    (M, mlp_dim) hidden never reaches HBM (vit_tpu/ops/pallas/block.py).
+    XLA path: the composed op chain (XLA cannot fuse matmul into matmul,
+    so the hidden materializes — the structural gap the kernel exploits).
+    """
+    if resolve_impl(impl) == "xla":
+        h = reference.layernorm(x, ln_scale, ln_bias, eps=eps)
+        h = reference.matmul(h, w1, b1, "gelu")
+        return reference.matmul(h, w2, b2) + x
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
+                        interpret_mode(interpret))
+
+
+def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,
+               num_heads, scale=None, seq_len=None, eps=1e-12,
+               impl=None, interpret=None):
+    """``x + proj(MHA(LN(x)))`` — the attention half of an encoder block.
+
+    Pallas path: one mega-kernel in the lane-packed (S, D) layout — no
+    head transposes, QKV/scores/context all VMEM-only
+    (vit_tpu/ops/pallas/block.py). XLA path: the composed chain through
+    :func:`flash_attention`'s XLA branch.
+    """
+    b, s, d = x.shape
+    hd = d // num_heads
+    if resolve_impl(impl) == "xla":
+        xn = reference.layernorm(x, ln_scale, ln_bias, eps=eps)
+        qkv = reference.matmul(xn, wqkv, bqkv).reshape(b, s, 3, num_heads, hd)
+        q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+        ctx = reference.attention(q, k, v, scale=scale, seq_len=seq_len)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return reference.matmul(ctx, wout, bout) + x
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                         num_heads, scale, seq_len, eps,
+                         interpret_mode(interpret))

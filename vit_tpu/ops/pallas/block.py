@@ -1,0 +1,414 @@
+"""Transformer-block mega-kernels: whole sub-blocks in one Pallas pass.
+
+The reference composes its model from one kernel per op (78 Triton launches
+per layer, SURVEY.md §3.2) and its roadmap ends at per-op fusion. The TPU
+redesign goes one structural level further: each half of the encoder block
+is ONE kernel, sized so the weights are VMEM-resident and every
+intermediate lives and dies on-core:
+
+- :func:`mlp_block` — ``x + fc2(gelu(fc1(LN(x))))``. The (M, mlp_dim)
+  hidden activation never exists in HBM. XLA cannot do this fusion (it
+  never fuses a matmul into another matmul), so at ViT-B/16 bs=32 it pays
+  an ~82 MB HBM round trip per layer for the hidden alone; this kernel's
+  HBM traffic is just x + out + weights.
+- :func:`attn_block` — ``x + proj(MHA(LN(x)))``. QKV, per-head scores,
+  softmax and context all stay in VMEM, and the kernel consumes/produces
+  the model's natural lane-packed (S, D) activation layout: no
+  (B,H,S,64) head transposes at the XLA level, and no half-empty-lane
+  (…,64) arrays ever stored to HBM.
+
+Numerics match the composed op chain exactly-in-structure: LN statistics
+in fp32 with eps inside the sqrt (reference vit/kernels/layernorm.py:72-73),
+erf-GELU (reference vit/kernels/activations.py), fp32 accumulation on every
+MXU op, softmax in fp32 (reference vit/kernels/softmax.py). The composed
+ops remain the fallback for geometries whose weights exceed the VMEM
+budget (:func:`mlp_block_plan` / :func:`attn_block_plan` return None).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.activations import gelu
+from vit_tpu.ops.pallas.common import cdiv
+from vit_tpu.ops.pallas.matmul import _dot_precision
+
+_VMEM_BUDGET = 22 * 2**20  # measured: ~32+ MB usable on v5e (probe: 2x16MB
+                           # compiles, 2x20MB is rejected) — 22MB of planned
+                           # buffers leaves Mosaic room for its own temps
+
+
+# ------------------------------------------------------------- mlp block --
+
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, xn_ref, acc_ref, *, eps: float, d: int, nt: int,
+                nc: int, ct: int, precision):
+    """One (bm, D) row-block through LN -> fc1 -> gelu -> fc2 -> +x.
+
+    Grid (nm, nt): t streams mlp_dim tiles of w1/w2 (nt == 1 keeps both
+    weights fully resident — the B/16 bf16 case). Within a t step the
+    hidden is produced in ``nc`` chunks of ``ct`` columns so the fp32
+    intermediate stays (bm, ct) instead of (bm, mlp_dim).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * g_ref[:].astype(jnp.float32)
+              + b_ref[:].astype(jnp.float32))
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        # Residual and final bias seed the accumulator.
+        acc_ref[:] = x32 + b2_ref[:].astype(jnp.float32)
+
+    xn = xn_ref[:]
+    for c in range(nc):
+        sl = slice(c * ct, (c + 1) * ct)
+        h = jax.lax.dot_general(
+            xn, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        h = gelu(h + b1_ref[:, sl].astype(jnp.float32)).astype(xn.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            h, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
+                   budget: int = _VMEM_BUDGET):
+    """(bm, nt, ct) for :func:`mlp_block`, or None if no config fits.
+
+    Resolution: ``tuning`` table entry (op ``mlpblock``, dims (d, mlp)) ->
+    smallest nt (fewest weight refetches) with the largest feasible bm.
+    """
+    if d % 128 or mlp % 128:
+        return None
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("mlpblock", dtype, (d, mlp))
+    if hit is not None:
+        return int(hit["bm"]), int(hit["nt"]), int(hit["ct"])
+
+    def est(bm, nt, ct):
+        mt = mlp // nt
+        w = (d * mt + mt * d) * itemsize * (1 if nt == 1 else 2)
+        io = 2 * 2 * bm * d * itemsize            # x + out, double-buffered
+        scratch = bm * d * (itemsize + 4)          # xn + fp32 acc
+        hidden = bm * ct * (4 + itemsize)          # fp32 pre-act + cast
+        vecs = (2 * d + 2 * mt + d) * itemsize
+        return w + io + scratch + hidden + vecs
+
+    for nt in (1, 2, 4, 8):
+        if mlp % (nt * 128):
+            continue
+        mt = mlp // nt
+        for bm in (256, 128):
+            for ct in (min(mt, 1024), min(mt, 512)):
+                if mt % ct == 0 and est(bm, nt, ct) <= budget:
+                    return bm, nt, ct
+    return None
+
+
+def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+              w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+              *, eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+    """``x + fc2(gelu(fc1(LN(x))))`` in one Pallas pass (see module doc).
+
+    ``x``: (..., D); ``w1``: (D, mlp); ``w2``: (mlp, D). Requires a plan
+    from :func:`mlp_block_plan` (caller gates on it).
+    """
+    *lead, d = x.shape
+    mlp = w1.shape[1]
+    assert w1.shape == (d, mlp) and w2.shape == (mlp, d), (w1.shape, w2.shape)
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    assert plan is not None, (m, d, mlp, x.dtype)
+    bm, nt, ct = plan
+    mt = mlp // nt
+    nc = mt // ct
+
+    kernel = functools.partial(_mlp_kernel, eps=eps, d=d, nt=nt, nc=nc,
+                               ct=ct, precision=_dot_precision(x.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm), nt),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),          # x
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln scale
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln bias
+            pl.BlockSpec((d, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # w1
+            pl.BlockSpec((1, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # b1
+            pl.BlockSpec((mt, d), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),          # w2
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # b2
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, d), x.dtype),      # xn cache
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # Mosaic's default scoped-VMEM limit is 16MB; the chip has ~32+
+            # (probed — see _VMEM_BUDGET). Resident-weight plans need more.
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * mlp,
+            bytes_accessed=(2 * m * d + 2 * d * mlp) * x.dtype.itemsize,
+            transcendentals=m * mlp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+      w1, b1.reshape(1, mlp), w2, b2.reshape(1, d))
+    return out.reshape(*lead, d)
+
+
+# -------------------------------------------------------- attention block --
+
+def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                 bout_ref, o_ref, *, eps: float, d: int, sp: int,
+                 num_heads: int, head_dim: int, scale: float, seq_len: int,
+                 group: int, precision):
+    """``group`` batches of (sp, D) rows through LN -> QKV -> MHA -> proj
+    -> +x, entirely in VMEM. Heads are column slices of the packed
+    (sp, D) projections — no head transposes anywhere."""
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        x32 = x_ref[rows, :].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * g_ref[:].astype(jnp.float32)
+              + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+        # QKV one projection at a time: caps the fp32 temp at (sp, D).
+        proj = []
+        for p_i in range(3):
+            cols = slice(p_i * d, (p_i + 1) * d)
+            z = jax.lax.dot_general(
+                xn, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            z = z + bqkv_ref[:, cols].astype(jnp.float32)
+            proj.append(z.astype(x_ref.dtype))
+        q_all, k_all, v_all = proj
+
+        parts = []
+        for h in range(num_heads):
+            hs = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision) * scale
+            if seq_len != sp:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < seq_len, s, float("-inf"))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(
+                p.astype(x_ref.dtype), v_all[:, hs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            parts.append(ctx / l)
+        ctx_all = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
+
+        out = jax.lax.dot_general(
+            ctx_all, wout_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        out = out + bout_ref[:].astype(jnp.float32) + x32
+        o_ref[rows, :] = out.astype(o_ref.dtype)
+
+
+def attn_block_plan(b: int, sp: int, d: int, num_heads: int, itemsize: int,
+                    budget: int = _VMEM_BUDGET):
+    """``group`` (batches per grid step) for :func:`attn_block`, or None."""
+    if d % 128 or sp % 8 or d % num_heads:
+        return None
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("attnblock", dtype, (sp, d, num_heads))
+    if hit is not None:
+        group = min(int(hit["group"]), b)
+        while b % group:
+            group -= 1
+    else:
+        group = 1
+
+    w = (d * 3 * d + d * d) * itemsize                    # resident weights
+    per_batch = (2 * 2 * sp * d * itemsize                # x + out dbuf
+                 + sp * d * (4 + 3 * itemsize)            # fp32 qkv temp + q/k/v
+                 + sp * sp * 4 * 2                        # scores + probs fp32
+                 + sp * d * 4)                            # ctx fp32
+    if w + group * per_batch > budget:
+        return None
+    return group
+
+
+def attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+               wqkv: jax.Array, bqkv: jax.Array, wout: jax.Array,
+               bout: jax.Array, *, num_heads: int,
+               scale: float | None = None, seq_len: int | None = None,
+               eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+    """``x + proj(MHA(LN(x)))`` in one Pallas pass (see module doc).
+
+    ``x``: (B, S, D) with S already sublane-aligned when padded (the model
+    pads the whole encoder — vit_tpu/models/vit.py); ``seq_len`` is the
+    real token count (keys past it are masked, query rows past it produce
+    garbage the caller slices off). ``wqkv``: (D, 3D) packed [q|k|v].
+    """
+    b, sp, d = x.shape
+    hd = d // num_heads
+    assert wqkv.shape == (d, 3 * d) and wout.shape == (d, d)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    group = attn_block_plan(b, sp, d, num_heads, x.dtype.itemsize)
+    assert group is not None, (b, sp, d, num_heads, x.dtype)
+
+    kernel = functools.partial(
+        _attn_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, group=group,
+        precision=_dot_precision(x.dtype))
+    xf = x.reshape(b * sp, d)
+    blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                            # x
+            vec(d), vec(d),                                 # ln scale/bias
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wqkv
+            vec(3 * d),                                     # bqkv
+            pl.BlockSpec((d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wout
+            vec(d),                                         # bout
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
+            bytes_accessed=(2 * b * sp * d + 4 * d * d) * x.dtype.itemsize,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+    return out.reshape(b, sp, d)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import numpy as np
+
+    from vit_tpu.bench.artifacts import selftest
+    from vit_tpu.ops import reference
+    from vit_tpu.ops.dispatch import interpret_mode
+    from vit_tpu.utils.timing import bench_chained
+
+    ap = argparse.ArgumentParser(description="block kernels self-test + bench")
+    ap.add_argument("-B", type=int, default=4)
+    ap.add_argument("-S", type=int, default=208)
+    ap.add_argument("--seq-len", type=int, default=197)
+    ap.add_argument("-D", type=int, default=768)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--mlp", type=int, default=3072)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    B, S, D, M = args.B, args.S, args.D, args.mlp
+    ip = interpret_mode()
+
+    def arr(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, dt)
+
+    x = arr(B, S, D, s=1.0)
+    g1, be1 = arr(D, s=0.5) + 1, arr(D)
+    w1, b1 = arr(D, M), arr(M)
+    w2, b2 = arr(M, D), arr(D)
+
+    def truth(fn, *xs):
+        """fp32 ground truth + dtype-aware tolerance: at bf16 the composed
+        XLA chain's own rounding error exceeds any fixed atol (measured
+        max-err 0.29 on outputs of magnitude ~54), so the bar is relative
+        to the output scale — same protocol either impl must clear."""
+        want = fn(*(a.astype(jnp.float32) for a in xs))
+        atol = (2e-3 if dt == jnp.float32
+                else 2e-2 * float(jnp.abs(want).max()))
+        return want, atol
+
+    got = mlp_block(x, g1, be1, w1, b1, w2, b2, interpret=ip)
+    want, atol = truth(
+        lambda x, g1, be1, w1, b1, w2, b2: reference.matmul(
+            reference.matmul(reference.layernorm(x, g1, be1, eps=1e-12),
+                             w1, b1, "gelu"), w2, b2) + x,
+        x, g1, be1, w1, b1, w2, b2)
+    selftest("mlp_block", got.astype(jnp.float32), want, atol=atol)
+
+    wqkv, bqkv = arr(D, 3 * D), arr(3 * D)
+    wout, bout = arr(D, D), arr(D)
+    hd = D // args.heads
+    xa = jnp.asarray(rng.standard_normal((B, S, D)), dt)
+    xa = xa.at[:, args.seq_len:].set(0)
+
+    got = attn_block(xa, g1, be1, wqkv, bqkv, wout, bout,
+                     num_heads=args.heads, seq_len=args.seq_len,
+                     interpret=ip)
+
+    def attn_ref(xa, g1, be1, wqkv, bqkv, wout, bout):
+        xn = reference.layernorm(xa, g1, be1, eps=1e-12)
+        qkv = reference.matmul(xn, wqkv, bqkv).reshape(
+            B, S, 3, args.heads, hd)
+        q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+        ctx = reference.attention(q, k, v, scale=hd ** -0.5,
+                                  seq_len=args.seq_len)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return reference.matmul(ctx, wout, bout) + xa
+
+    want, atol = truth(attn_ref, xa, g1, be1, wqkv, bqkv, wout, bout)
+    selftest("attn_block", got[:, :args.seq_len].astype(jnp.float32),
+             want[:, :args.seq_len], atol=atol)
+
+    if args.bench:
+        def mk(fn, *xs):
+            def step(c, *a):
+                out = fn(a[0] * (1 + c * 1e-30).astype(dt), *a[1:])
+                return jnp.mean(out).astype(jnp.float32)
+            return bench_chained(step, args=xs)
+
+        flops_mlp = 4 * B * S * D * M / 1e12
+        ms = mk(lambda u: mlp_block(u, g1, be1, w1, b1, w2, b2), x)
+        print(f"mlp_block:  {ms:.4f} ms  {flops_mlp / (ms / 1e3):.1f} TFLOP/s")
+        flops_attn = (8 * B * S * D * D + 4 * B * S * S * D) / 1e12
+        ms = mk(lambda u: attn_block(u, g1, be1, wqkv, bqkv, wout, bout,
+                                     num_heads=args.heads,
+                                     seq_len=args.seq_len), xa)
+        print(f"attn_block: {ms:.4f} ms  {flops_attn / (ms / 1e3):.1f} TFLOP/s")

@@ -428,3 +428,84 @@ def _attention_bwd(scale, seq_len, interpret, res, g):
 
 
 attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+# ----------------------------------------------------------- block kernels --
+
+def _mlp_composed(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret):
+    """The op-chain equivalent of the mlp_block mega-kernel, built from the
+    differentiable fused_linear ops — the backward recomputes through this
+    (standard remat: nothing block-sized is saved from the forward)."""
+    h = fused_linear(x, w1, b1, ln_scale, ln_bias, None, "gelu", eps,
+                     interpret)
+    return fused_linear(h, w2, b2, None, None, x, None, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-12,
+              interpret: bool = False):
+    """Differentiable ``x + fc2(gelu(fc1(LN(x))))`` mega-kernel
+    (vit_tpu/ops/pallas/block.py)."""
+    from vit_tpu.ops.pallas.block import mlp_block as _k
+    return _k(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps,
+              interpret=interpret)
+
+
+def _mlp_block_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret):
+    from vit_tpu.ops.pallas.block import mlp_block as _k
+    y = _k(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps, interpret=interpret)
+    return y, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_block_bwd(eps, interpret, res, g):
+    _, vjp_fn = jax.vjp(
+        lambda *a: _mlp_composed(*a, eps, interpret), *res)
+    return vjp_fn(g)
+
+
+mlp_block.defvjp(_mlp_block_fwd, _mlp_block_bwd)
+
+
+def _attn_composed(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                   num_heads, scale, seq_len, eps, interpret):
+    """Differentiable op-chain equivalent of attn_block (remat backward)."""
+    b, sp, d = x.shape
+    hd = d // num_heads
+    qkv = fused_linear(x, wqkv, bqkv, ln_scale, ln_bias, None, None, eps,
+                       interpret)
+    q, k, v = qkv.reshape(b, sp, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    ctx = attention(q, k, v, scale, seq_len, interpret)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sp, d)
+    return fused_linear(ctx, wout, bout, None, None, x, None, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+               num_heads: int, scale: float | None = None,
+               seq_len: int | None = None, eps: float = 1e-12,
+               interpret: bool = False):
+    """Differentiable ``x + proj(MHA(LN(x)))`` mega-kernel
+    (vit_tpu/ops/pallas/block.py)."""
+    from vit_tpu.ops.pallas.block import attn_block as _k
+    return _k(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+              num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+              interpret=interpret)
+
+
+def _attn_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                    num_heads, scale, seq_len, eps, interpret):
+    from vit_tpu.ops.pallas.block import attn_block as _k
+    y = _k(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+           num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+           interpret=interpret)
+    return y, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+
+
+def _attn_block_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
+    _, vjp_fn = jax.vjp(
+        lambda *a: _attn_composed(*a, num_heads, scale, seq_len, eps,
+                                  interpret), *res)
+    return vjp_fn(g)
+
+
+attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
