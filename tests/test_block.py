@@ -120,6 +120,65 @@ def test_attn_block_grads_match_xla():
                                    atol=5e-3, rtol=1e-3)
 
 
+def _stack_inputs(rng, L=2, d=128, mlp=256, dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    return {
+        "ln1": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "qkv": {"kernel": arr(L, d, 3 * d), "bias": arr(L, 3 * d)},
+        "out": {"kernel": arr(L, d, d), "bias": arr(L, d)},
+        "ln2": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "fc1": {"kernel": arr(L, d, mlp), "bias": arr(L, mlp)},
+        "fc2": {"kernel": arr(L, mlp, d), "bias": arr(L, d)},
+    }
+
+
+def test_encoder_stack_matches_composed():
+    """Whole-encoder mega-kernel == scan of the composed op chain, with a
+    padded tail masked as keys."""
+    rng = np.random.default_rng(6)
+    b, s, d, heads, seq_len = 1, 16, 128, 2, 13
+    enc = _stack_inputs(rng)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    x = x.at[:, seq_len:].set(0)
+    got = ops.encoder_stack(x, enc, num_heads=heads, seq_len=seq_len,
+                            impl="pallas")
+    want = ops.encoder_stack(x, enc, num_heads=heads, seq_len=seq_len,
+                             impl="xla")
+    np.testing.assert_allclose(np.asarray(got[:, :seq_len]),
+                               np.asarray(want[:, :seq_len]),
+                               atol=5e-4, rtol=0)
+
+
+def test_encoder_stack_grads_match_xla():
+    rng = np.random.default_rng(7)
+    b, s, d, heads = 1, 8, 128, 1
+    enc = _stack_inputs(rng, L=1)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    def loss(impl):
+        def f(x, enc):
+            out = ops.encoder_stack(x, enc, num_heads=heads, impl=impl)
+            return jnp.sum(out * out).astype(jnp.float32)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1))(x, enc)
+    gx = jax.grad(loss("xla"), argnums=(0, 1))(x, enc)
+    for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_stack_plan_gates():
+    # Flagship small-batch geometries have a plan in bf16.
+    assert block.encoder_stack_plan(1, 208, 768, 3072, 12, 2) is not None
+    assert block.encoder_stack_plan(2, 208, 768, 3072, 12, 2) is not None
+    # Large batch -> no plan (activation residency infeasible) -> the model
+    # falls back to the per-layer mega-kernels.
+    assert block.encoder_stack_plan(32, 208, 768, 3072, 12, 2) is None
+    # Unaligned dims -> no plan.
+    assert block.encoder_stack_plan(1, 208, 768 + 8, 3072, 12, 2) is None
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_block_model_forward_matches_unfused(dtype):
     """Full model: fused pallas (block kernels) vs unfused pallas chain."""

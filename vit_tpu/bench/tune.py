@@ -167,6 +167,130 @@ def sweep_flash(bh: int, s: int, d: int, dtype):
     return rows
 
 
+def _block_inputs(b: int, sp: int, cfg: ViTConfig, dtype):
+    rng = np.random.default_rng(0)
+    d, mlp = cfg.hidden_dim, cfg.mlp_dim
+    arr = lambda *sh, sc=0.05: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), dtype)
+    x = x.at[:, cfg.seq_len:].set(0)
+    return x, arr(d, sc=0.2) + 1, arr(d), arr(d, 3 * d), arr(3 * d), \
+        arr(d, d), arr(d), arr(d, mlp), arr(mlp), arr(mlp, d), arr(d)
+
+
+def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Sweep (bm, nt, ct) plans for the MLP half-block mega-kernel at the
+    model's row count m = b*sp; bm=0 means whole-m weight streaming."""
+    from vit_tpu.ops.pallas.block import mlp_block
+
+    d, mlp = cfg.hidden_dim, cfg.mlp_dim
+    m = b * sp
+    x, g, be, *_rest, w1, b1, w2, b2 = _block_inputs(b, sp, cfg, dtype)
+
+    cands = []
+    if m <= 2048:  # weight-streaming candidates
+        for nt in (2, 4, 8, 16):
+            if mlp % (nt * 128) == 0:
+                cands.append((0, nt, min(mlp // nt, 512)))
+    for bm in (128, 256, 512):  # activation-streaming candidates
+        if bm <= m:
+            cands.append((bm, 1, 1024))
+            cands.append((bm, 1, 3072 if mlp % 3072 == 0 else mlp))
+
+    def step(c, x, *w):
+        out = mlp_block(x * (1 + c * 1e-30).astype(dtype), *w)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for bm, nt, ct in cands:
+        os.environ["VIT_TPU_MLP_PLAN"] = f"{bm},{nt},{ct}"
+        try:
+            ms = _bench(step, (x, g, be, w1, b1, w2, b2))
+        except Exception as e:  # noqa: BLE001 - sweep must survive bad configs
+            log(f"  mlp ({bm},{nt},{ct}) FAIL: {str(e)[:80]}")
+            continue
+        finally:
+            os.environ.pop("VIT_TPU_MLP_PLAN", None)
+        tflops = 4 * m * d * mlp / 1e12 / (ms / 1e3)
+        rows.append({"bm": bm, "nt": nt, "ct": ct, "ms": ms, "tflops": tflops})
+        log(f"  mlp ({bm},{nt},{ct}) {ms:.4f} ms = {tflops:.1f} TF/s")
+    return rows
+
+
+def sweep_attnblock(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Sweep layouts for the attention half-block mega-kernel at batch b."""
+    from vit_tpu.ops.pallas.block import attn_block
+
+    d, nh = cfg.hidden_dim, cfg.num_heads
+    x, g, be, wqkv, bqkv, wout, bout, *_ = _block_inputs(b, sp, cfg, dtype)
+
+    cands = ["wstream"] if b <= 8 else []
+    cands += [f"mstream,{gr}" for gr in (1, 2, 4, 8) if b % gr == 0]
+
+    def step(c, x, *w):
+        out = attn_block(x * (1 + c * 1e-30).astype(dtype), *w,
+                         num_heads=nh, seq_len=cfg.seq_len)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for cand in cands:
+        os.environ["VIT_TPU_ATTN_PLAN"] = cand
+        try:
+            ms = _bench(step, (x, g, be, wqkv, bqkv, wout, bout))
+        except Exception as e:  # noqa: BLE001
+            log(f"  attn {cand} FAIL: {str(e)[:80]}")
+            continue
+        finally:
+            os.environ.pop("VIT_TPU_ATTN_PLAN", None)
+        tflops = (8 * b * sp * d * d + 4 * b * sp * sp * d) / 1e12 / (ms / 1e3)
+        rows.append({"cand": cand, "ms": ms, "tflops": tflops})
+        log(f"  attn {cand} {ms:.4f} ms = {tflops:.1f} TF/s")
+    return rows
+
+
+def sweep_encstack(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Sweep (cq, mt) tile configs for the whole-encoder mega-kernel."""
+    from vit_tpu.ops.pallas.block import encoder_stack, encoder_stack_plan
+
+    d, mlp, nh, L = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads, cfg.num_layers
+    rng = np.random.default_rng(0)
+    arr = lambda *sh, sc=0.05: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), dtype)
+    x = x.at[:, cfg.seq_len:].set(0)
+    enc = {
+        "ln1": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "qkv": {"kernel": arr(L, d, 3 * d), "bias": arr(L, 3 * d)},
+        "out": {"kernel": arr(L, d, d), "bias": arr(L, d)},
+        "ln2": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "fc1": {"kernel": arr(L, d, mlp), "bias": arr(L, mlp)},
+        "fc2": {"kernel": arr(L, mlp, d), "bias": arr(L, d)},
+    }
+
+    def step(c, x, enc):
+        out = encoder_stack(x * (1 + c * 1e-30).astype(dtype), enc,
+                            num_heads=nh, seq_len=cfg.seq_len)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for cq in (d, d // 2, 3 * d):
+        for mt in (1536, 1024, 768, 512):
+            os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
+            it = jnp.dtype(dtype).itemsize
+            if encoder_stack_plan(b, sp, d, mlp, nh, it) is None:
+                os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                continue
+            try:
+                ms = _bench(step, (x, enc))
+            except Exception as e:  # noqa: BLE001
+                log(f"  encstack ({cq},{mt}) FAIL: {str(e)[:80]}")
+                continue
+            finally:
+                os.environ.pop("VIT_TPU_STACK_PLAN", None)
+            rows.append({"cq": cq, "mt": mt, "ms": ms})
+            log(f"  encstack ({cq},{mt}) {ms:.4f} ms "
+                f"({ms / L * 1e3:.1f} us/layer)")
+    return rows
+
+
 # ------------------------------------------------------------------- driver
 
 def model_matmul_shapes(cfg: ViTConfig, batch: int) -> list[tuple[int, int, int]]:
@@ -183,7 +307,8 @@ def model_matmul_shapes(cfg: ViTConfig, batch: int) -> list[tuple[int, int, int]
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--op", default="all", choices=["matmul", "flash", "all"])
+    ap.add_argument("--op", default="all",
+                    choices=["matmul", "flash", "block", "all"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batches", type=int, nargs="+", default=[32])
@@ -249,6 +374,52 @@ def main():
             sweep_log["sweeps"].append(
                 {"op": "flash", "shape": [bh, sp, cfg.head_dim], "rows": rows})
             log(f"  -> winner group={best['group']} {best['tflops']:.1f} TF/s")
+
+    if args.op in ("block", "all"):
+        sp = round_up(cfg.seq_len, 16)
+        d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+        for b in args.batches:
+            m = b * sp
+            log(f"[mlpblock {args.dtype}] m={m} d={d} mlp={mlp}")
+            rows = sweep_mlpblock(b, sp, cfg, dtype)
+            if rows:
+                best = min(rows, key=lambda r: r["ms"])
+                tuning.record(
+                    "mlpblock", dtype, (m, d, mlp),
+                    {"bm": best["bm"], "nt": best["nt"], "ct": best["ct"]},
+                    extra={"ms": round(best["ms"], 6),
+                           "tflops": round(best["tflops"], 1),
+                           "shape": f"bs{b} v5e"})
+                sweep_log["sweeps"].append(
+                    {"op": "mlpblock", "shape": [m, d, mlp], "rows": rows})
+                log(f"  -> winner ({best['bm']},{best['nt']},{best['ct']}) "
+                    f"{best['tflops']:.1f} TF/s")
+            log(f"[attnblock {args.dtype}] b={b} sp={sp} d={d}")
+            rows = sweep_attnblock(b, sp, cfg, dtype)
+            if rows:
+                best = min(rows, key=lambda r: r["ms"])
+                val = ({"layout": "wstream"} if best["cand"] == "wstream"
+                       else {"layout": "mstream",
+                             "group": int(best["cand"].split(",")[1])})
+                tuning.record("attnblock", dtype, (b, sp, d, nh), val,
+                              extra={"ms": round(best["ms"], 6),
+                                     "shape": f"bs{b} v5e"})
+                sweep_log["sweeps"].append(
+                    {"op": "attnblock", "shape": [b, sp, d, nh], "rows": rows})
+                log(f"  -> winner {best['cand']}")
+            if b <= 2:
+                log(f"[encstack {args.dtype}] b={b} sp={sp}")
+                rows = sweep_encstack(b, sp, cfg, dtype)
+                if rows:
+                    best = min(rows, key=lambda r: r["ms"])
+                    tuning.record("encstack", dtype, (b, sp, d, mlp, nh),
+                                  {"cq": best["cq"], "mt": best["mt"]},
+                                  extra={"ms": round(best["ms"], 6),
+                                         "shape": f"bs{b} v5e"})
+                    sweep_log["sweeps"].append(
+                        {"op": "encstack", "shape": [b, sp, d, mlp, nh],
+                         "rows": rows})
+                    log(f"  -> winner ({best['cq']},{best['mt']})")
 
     os.makedirs("benchmarks/tune", exist_ok=True)
     path = f"benchmarks/tune/sweep_{args.op}_{args.dtype}.json"

@@ -222,11 +222,25 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
         # aligned tiles and the flash kernel skip its per-call pad pass.
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
-    def body(x, lp):
-        return encoder_block(x, lp, cfg, impl=impl, attention=attention,
-                             fused=fused, seq_len=s), None
+    b = x.shape[0]
+    if (fused and attention == "flash"
+            and ops.resolve_impl(impl) == "pallas"
+            and ops.stack_plan(b, sp, cfg.hidden_dim, cfg.mlp_dim,
+                               cfg.num_heads, x.dtype.itemsize)):
+        # Small-batch latency path: the WHOLE encoder is one Pallas kernel
+        # (vit_tpu/ops/pallas/block.py:encoder_stack) — layer l+1's weights
+        # prefetch while layer l computes and the activation never leaves
+        # VMEM, so the forward runs at the weight-bandwidth floor (measured
+        # bs=1 b16: 0.33 ms encoder vs 0.43 ms for the XLA op chain).
+        x = ops.encoder_stack(x, params["encoder"], num_heads=cfg.num_heads,
+                              scale=cfg.head_dim ** -0.5, seq_len=s,
+                              eps=cfg.layernorm_eps, impl=impl)
+    else:
+        def body(x, lp):
+            return encoder_block(x, lp, cfg, impl=impl, attention=attention,
+                                 fused=fused, seq_len=s), None
 
-    x, _ = jax.lax.scan(body, x, params["encoder"])
+        x, _ = jax.lax.scan(body, x, params["encoder"])
     x = ops.layernorm(x, params["ln_final"]["scale"], params["ln_final"]["bias"],
                       eps=cfg.layernorm_eps, impl=impl)
     if sp != s:

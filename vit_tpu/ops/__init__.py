@@ -21,7 +21,7 @@ from vit_tpu.ops.reference import gelu, patchify as _patchify_ref
 __all__ = [
     "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
-    "mlp_block", "attn_block", "block_plans",
+    "mlp_block", "attn_block", "block_plans", "encoder_stack", "stack_plan",
     "resolve_impl", "interpret_mode", "reference",
 ]
 
@@ -151,6 +151,52 @@ def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-12,
     from vit_tpu.ops.pallas import vjp as _k
     return _k.mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
                         interpret_mode(interpret))
+
+
+def stack_plan(batch: int, seq_pad: int, hidden: int, mlp: int,
+               num_heads: int, itemsize: int):
+    """Whether the whole-encoder mega-kernel has a VMEM-feasible plan
+    (vit_tpu/ops/pallas/block.py:encoder_stack_plan) — the small-batch
+    latency regime where activations stay resident across all layers."""
+    from vit_tpu.ops.pallas import block as _b
+    return _b.encoder_stack_plan(batch, seq_pad, hidden, mlp, num_heads,
+                                 itemsize) is not None
+
+
+def encoder_stack(x, enc, *, num_heads, scale=None, seq_len=None,
+                  eps=1e-12, impl=None, interpret=None):
+    """Run the full stacked pre-LN encoder (``enc`` = scan-stacked params
+    with leaves ``ln1/qkv/out/ln2/fc1/fc2``).
+
+    Pallas path: ONE kernel for all layers — weights stream (and prefetch
+    across layer boundaries) while the activation never leaves VMEM
+    (vit_tpu/ops/pallas/block.py:encoder_stack). XLA path: lax.scan over
+    the composed per-layer op chain.
+    """
+    if resolve_impl(impl) == "xla":
+        def body(h, lp):
+            hn = reference.layernorm(h, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                                     eps=eps)
+            b, s, d = h.shape
+            hd = d // num_heads
+            qkv = reference.matmul(hn, lp["qkv"]["kernel"],
+                                   lp["qkv"]["bias"]).reshape(
+                b, s, 3, num_heads, hd)
+            q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+            ctx = reference.attention(q, k, v, scale=scale, seq_len=seq_len)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+            h = reference.matmul(ctx, lp["out"]["kernel"],
+                                 lp["out"]["bias"]) + h
+            z = reference.layernorm(h, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                                    eps=eps)
+            z = reference.matmul(z, lp["fc1"]["kernel"], lp["fc1"]["bias"],
+                                 "gelu")
+            return reference.matmul(z, lp["fc2"]["kernel"],
+                                    lp["fc2"]["bias"]) + h, None
+        return jax.lax.scan(body, x, enc)[0]
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.encoder_stack(x, enc, num_heads, scale, seq_len, eps,
+                            interpret_mode(interpret))
 
 
 def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,

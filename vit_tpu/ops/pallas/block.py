@@ -28,6 +28,7 @@ budget (:func:`mlp_block_plan` / :func:`attn_block_plan` return None).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.pallas.activations import gelu
-from vit_tpu.ops.pallas.common import cdiv
+from vit_tpu.ops.pallas.common import cdiv, round_up
 from vit_tpu.ops.pallas.matmul import _dot_precision
 
 _VMEM_BUDGET = 22 * 2**20  # measured: ~32+ MB usable on v5e (probe: 2x16MB
@@ -89,33 +90,65 @@ def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
                    budget: int = _VMEM_BUDGET):
     """(bm, nt, ct) for :func:`mlp_block`, or None if no config fits.
 
-    Resolution: ``tuning`` table entry (op ``mlpblock``, dims (d, mlp)) ->
-    smallest nt (fewest weight refetches) with the largest feasible bm.
+    Two regimes, both served by the same kernel:
+
+    - **Weight-streaming** (small m): ``bm == m`` — the whole activation
+      plus the fp32 accumulator stay VMEM-resident for the kernel's
+      lifetime and the grid's t axis streams mlp-dim weight tiles, so the
+      ~(2*d*mlp) weight DMA pipelines with compute instead of stalling a
+      single grid step. This is the latency regime: at bs=1 the layer is
+      weight-DMA-bound and a nt==1 plan serializes an ~11.5us fetch before
+      the first MXU op.
+    - **Activation-streaming** (large m): nt == 1 keeps both weights
+      resident and the grid's i axis streams row blocks (nt > 1 here would
+      refetch weight tiles once per row block).
+
+    Resolution: ``tuning`` table entry (op ``mlpblock``, dims (m, d, mlp),
+    m=0 wildcard) -> weight-streaming if m fits -> activation-streaming.
     """
     if d % 128 or mlp % 128:
         return None
+    env = os.environ.get("VIT_TPU_MLP_PLAN")
+    if env:  # "bm,nt,ct" (bm=0 -> whole m) — tune.py's config forcing
+        bm, nt, ct = map(int, env.split(","))
+        return (bm or round_up(m, 8)), nt, ct
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
-    hit = tuning.lookup("mlpblock", dtype, (d, mlp))
-    if hit is not None:
-        return int(hit["bm"]), int(hit["nt"]), int(hit["ct"])
+    exact, wild = tuning.lookup_split("mlpblock", dtype, (m, d, mlp))
 
-    def est(bm, nt, ct):
+    def from_hit(hit):
+        bm = int(hit["bm"]) or round_up(m, 8)  # bm=0 records "whole m"
+        return bm, int(hit["nt"]), int(hit["ct"])
+
+    if exact is not None:
+        return from_hit(exact)
+
+    def est(bm, nt, ct, nm):
         mt = mlp // nt
         w = (d * mt + mt * d) * itemsize * (1 if nt == 1 else 2)
-        io = 2 * 2 * bm * d * itemsize            # x + out, double-buffered
+        io = (2 if nm > 1 else 1) * 2 * bm * d * itemsize  # x + out
         scratch = bm * d * (itemsize + 4)          # xn + fp32 acc
         hidden = bm * ct * (4 + itemsize)          # fp32 pre-act + cast
         vecs = (2 * d + 2 * mt + d) * itemsize
         return w + io + scratch + hidden + vecs
 
+    mp = round_up(m, 8)
+    if mp <= 2048:
+        for nt in (8, 4, 2):
+            if mlp % (nt * 128):
+                continue
+            ct = min(mlp // nt, 512)
+            if (mlp // nt) % ct == 0 and est(mp, nt, ct, 1) <= budget:
+                return mp, nt, ct
+    if wild is not None:
+        return from_hit(wild)
     for nt in (1, 2, 4, 8):
         if mlp % (nt * 128):
             continue
         mt = mlp // nt
         for bm in (256, 128):
             for ct in (min(mt, 1024), min(mt, 512)):
-                if mt % ct == 0 and est(bm, nt, ct) <= budget:
+                if mt % ct == 0 and est(bm, nt, ct, cdiv(m, bm)) <= budget:
                     return bm, nt, ct
     return None
 
@@ -237,29 +270,136 @@ def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[rows, :] = out.astype(o_ref.dtype)
 
 
+def _attn_wstream_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         bout_ref, o_ref, xn_ref, qkv_ref, *, eps: float,
+                         d: int, sp: int, num_heads: int, head_dim: int,
+                         scale: float, seq_len: int, b: int, precision):
+    """Weight-streaming layout: grid (4,) over [q-proj, k-proj, v-proj,
+    attention+out-proj]; the whole (B*sp, D) activation, its LN image and
+    the packed QKV stay VMEM-resident while the (D, D) wqkv column tiles
+    stream through the grid — so at small batch the weight DMA pipelines
+    with compute instead of stalling a single grid step."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * g_ref[:].astype(jnp.float32)
+              + b_ref[:].astype(jnp.float32))
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+
+    @pl.when(t < 3)
+    def _():
+        # One projection per grid step; row-chunked so the fp32 temp stays
+        # (sp, d). wqkv_ref/bqkv_ref hold this step's column tile.
+        for g in range(b):
+            rows = slice(g * sp, (g + 1) * sp)
+            z = jax.lax.dot_general(
+                xn_ref[rows, :], wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            z = (z + bqkv_ref[:].astype(jnp.float32)).astype(qkv_ref.dtype)
+            for p in range(3):
+                @pl.when(t == p)
+                def _(z=z, p=p, rows=rows):
+                    qkv_ref[p, rows, :] = z
+
+    @pl.when(t == 3)
+    def _():
+        for g in range(b):
+            rows = slice(g * sp, (g + 1) * sp)
+            q_all = qkv_ref[0, rows, :]
+            k_all = qkv_ref[1, rows, :]
+            v_all = qkv_ref[2, rows, :]
+            parts = []
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision) * scale
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                ctx = jax.lax.dot_general(
+                    p.astype(x_ref.dtype), v_all[:, hs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                parts.append(ctx / l)
+            ctx_all = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
+            out = jax.lax.dot_general(
+                ctx_all, wout_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            out = (out + bout_ref[:].astype(jnp.float32)
+                   + x_ref[rows, :].astype(jnp.float32))
+            o_ref[rows, :] = out.astype(o_ref.dtype)
+
+
 def attn_block_plan(b: int, sp: int, d: int, num_heads: int, itemsize: int,
                     budget: int = _VMEM_BUDGET):
-    """``group`` (batches per grid step) for :func:`attn_block`, or None."""
+    """Plan dict for :func:`attn_block`, or None.
+
+    ``{"layout": "wstream"}`` — whole-batch-resident weight streaming
+    (:func:`_attn_wstream_kernel`), the small-batch latency regime; or
+    ``{"layout": "mstream", "group": g}`` — ``g`` batches per grid step
+    with all weights resident (:func:`_attn_kernel`), the throughput
+    regime. Tuned entries (op ``attnblock``, dims (b, sp, d, heads), b=0
+    wildcard) force either layout.
+    """
     if d % 128 or sp % 8 or d % num_heads:
         return None
+    env = os.environ.get("VIT_TPU_ATTN_PLAN")
+    if env:  # "wstream" or "mstream,<group>" — tune.py's config forcing
+        if env == "wstream":
+            return {"layout": "wstream"}
+        return {"layout": "mstream", "group": int(env.split(",")[1])}
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
-    hit = tuning.lookup("attnblock", dtype, (sp, d, num_heads))
-    if hit is not None:
-        group = min(int(hit["group"]), b)
+    exact, wild = tuning.lookup_split("attnblock", dtype,
+                                      (b, sp, d, num_heads))
+
+    m = b * sp
+    wstream_vmem = (
+        2 * 2 * d * d * itemsize                   # wqkv tile, double-buffered
+        + d * d * itemsize                         # wout
+        + 2 * m * d * itemsize                     # x + out (single-buffered)
+        + m * d * itemsize                         # xn scratch
+        + 3 * m * d * itemsize                     # packed qkv scratch
+        + sp * d * 4 * 2                           # fp32 proj/out row temps
+        + sp * sp * 4 * 2                          # scores + probs fp32
+        + sp * d * 4)                              # ctx fp32
+    wstream_ok = wstream_vmem <= budget and b <= 8
+
+    def mstream(group):
+        group = min(int(group), b)
         while b % group:
             group -= 1
-    else:
-        group = 1
+        w = (d * 3 * d + d * d) * itemsize                # resident weights
+        per_batch = (2 * 2 * sp * d * itemsize            # x + out dbuf
+                     + sp * d * (4 + 3 * itemsize)        # fp32 qkv + q/k/v
+                     + sp * sp * 4 * 2                    # scores+probs fp32
+                     + sp * d * 4)                        # ctx fp32
+        if w + group * per_batch > budget:
+            return {"layout": "wstream"} if wstream_ok else None
+        return {"layout": "mstream", "group": group}
 
-    w = (d * 3 * d + d * d) * itemsize                    # resident weights
-    per_batch = (2 * 2 * sp * d * itemsize                # x + out dbuf
-                 + sp * d * (4 + 3 * itemsize)            # fp32 qkv temp + q/k/v
-                 + sp * sp * 4 * 2                        # scores + probs fp32
-                 + sp * d * 4)                            # ctx fp32
-    if w + group * per_batch > budget:
-        return None
-    return group
+    for hit in (exact,):
+        if hit is None:
+            continue
+        if hit.get("layout") == "wstream":
+            return ({"layout": "wstream"} if wstream_ok
+                    else mstream(hit.get("group", 1)))
+        return mstream(hit.get("group", 1))
+    if wstream_ok:
+        return {"layout": "wstream"}
+    if wild is not None and "group" in wild:
+        return mstream(wild["group"])
+    return mstream(1)
 
 
 def attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
@@ -281,14 +421,20 @@ def attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         scale = hd ** -0.5
     if seq_len is None:
         seq_len = sp
-    group = attn_block_plan(b, sp, d, num_heads, x.dtype.itemsize)
-    assert group is not None, (b, sp, d, num_heads, x.dtype)
+    plan = attn_block_plan(b, sp, d, num_heads, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, num_heads, x.dtype)
+    xf = x.reshape(b * sp, d)
+    if plan["layout"] == "wstream":
+        return _attn_block_wstream(
+            xf, ln_scale, ln_bias, wqkv, bqkv, wout, bout, b=b, sp=sp, d=d,
+            num_heads=num_heads, head_dim=hd, scale=scale, seq_len=seq_len,
+            eps=eps, interpret=interpret).reshape(b, sp, d)
+    group = plan["group"]
 
     kernel = functools.partial(
         _attn_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
         head_dim=hd, scale=scale, seq_len=seq_len, group=group,
         precision=_dot_precision(x.dtype))
-    xf = x.reshape(b * sp, d)
     blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -318,6 +464,310 @@ def attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         interpret=interpret,
     )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+    return out.reshape(b, sp, d)
+
+
+def _attn_block_wstream(xf, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,
+                        b, sp, d, num_heads, head_dim, scale, seq_len, eps,
+                        interpret):
+    """pallas_call wrapper for :func:`_attn_wstream_kernel`: grid (4,)
+    streams the three (D, D) wqkv column tiles then runs attention."""
+    m = b * sp
+    kernel = functools.partial(
+        _attn_wstream_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=head_dim, scale=scale, seq_len=seq_len, b=b,
+        precision=_dot_precision(xf.dtype))
+    full = pl.BlockSpec((m, d), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda t: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(4,),
+        in_specs=[
+            full,                                           # x
+            vec(d), vec(d),                                 # ln scale/bias
+            pl.BlockSpec((d, d), lambda t: (0, jnp.minimum(t, 2)),
+                         memory_space=pltpu.VMEM),          # wqkv col tile
+            pl.BlockSpec((1, d), lambda t: (0, jnp.minimum(t, 2)),
+                         memory_space=pltpu.VMEM),          # bqkv tile
+            pl.BlockSpec((d, d), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),          # wout
+            vec(d),                                         # bout
+        ],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((m, d), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, d), xf.dtype),      # xn cache
+            pltpu.VMEM((3, m, d), xf.dtype),   # packed q/k/v
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * 4 * d + 4 * m * sp * d,
+            bytes_accessed=(2 * m * d + 4 * d * d) * xf.dtype.itemsize,
+            transcendentals=m * sp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+
+
+# ----------------------------------------------------------- encoder stack --
+
+def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
+                          wout_ref, bout_ref, g2_ref, bn2_ref, w1_ref,
+                          b1_ref, w2_ref, b2_ref, o_ref,
+                          xcur_ref, qkv_ref, acc_ref, *, eps: float, d: int,
+                          sp: int, num_heads: int, head_dim: int,
+                          scale: float, seq_len: int, b: int, nq: int,
+                          cq: int, nt: int, num_layers: int, precision):
+    """The WHOLE pre-LN encoder in one kernel: grid (L, nq + b + nt).
+
+    Sub-step schedule per layer l:
+    - ``t < nq``        — QKV projection column chunk t (LN1 recomputed
+      per row block from the resident activation; no xn scratch);
+    - ``t == nq + g``   — attention + out-projection + residual for
+      batch g, updating the resident activation in place;
+    - ``t == nq+b+c``   — MLP tile c accumulating into the fp32 acc (LN2
+      recomputed per row block), last tile writes the activation back.
+
+    Layer l+1's weight tiles prefetch while layer l computes — the
+    cross-layer overlap no sequence of per-layer kernels can get — so at
+    small batch the forward runs at the weight-bandwidth floor. The
+    activation (B*sp, D), packed QKV and fp32 MLP accumulator live in
+    VMEM scratch for the kernel's entire lifetime; x is read once at
+    (0,0) and the output written once at the final step.
+    """
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    f32 = jnp.float32
+
+    def ln(rows, g_ref, b_ref):
+        x32 = xcur_ref[rows, :].astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        return ((xn * g_ref[0].astype(f32) + b_ref[0].astype(f32))
+                .astype(xcur_ref.dtype))
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        xcur_ref[:] = x_ref[:]
+
+    for j in range(nq):
+        @pl.when(t == j)
+        def _(j=j):
+            start = j * cq
+            rows = slice(None)
+            xn = ln(rows, g1_ref, bn1_ref)
+            z = jax.lax.dot_general(
+                xn, wqkv_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            z = (z + bqkv_ref[0, 0].astype(f32)).astype(qkv_ref.dtype)
+            # Scatter the chunk into the per-projection slabs it spans
+            # (cq may be a divisor OR a multiple of d).
+            for p in range(3):
+                lo = max(start, p * d)
+                hi = min(start + cq, (p + 1) * d)
+                if lo < hi:
+                    qkv_ref[p, rows, lo - p * d:hi - p * d] = (
+                        z[:, lo - start:hi - start])
+
+    for g in range(b):
+        @pl.when(t == nq + g)
+        def _(g=g):
+            rows = slice(g * sp, (g + 1) * sp)
+            q_all = qkv_ref[0, rows, :]
+            k_all = qkv_ref[1, rows, :]
+            v_all = qkv_ref[2, rows, :]
+            parts = []
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=precision) * scale
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                den = jnp.sum(p, axis=-1, keepdims=True)
+                ctx = jax.lax.dot_general(
+                    p.astype(v_all.dtype), v_all[:, hs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=precision)
+                parts.append(ctx / den)
+            ctx_all = jnp.concatenate(parts, axis=1).astype(xcur_ref.dtype)
+            out = jax.lax.dot_general(
+                ctx_all, wout_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            out = (out + bout_ref[0, 0].astype(f32)
+                   + xcur_ref[rows, :].astype(f32))
+            xcur_ref[rows, :] = out.astype(xcur_ref.dtype)
+
+    for c in range(nt):
+        @pl.when(t == nq + b + c)
+        def _(c=c):
+            if c == 0:
+                acc_ref[:] = (xcur_ref[:].astype(f32)
+                              + b2_ref[0].astype(f32))
+            xn = ln(slice(None), g2_ref, bn2_ref)
+            h = jax.lax.dot_general(
+                xn, w1_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            h = gelu(h + b1_ref[0, 0].astype(f32)).astype(xn.dtype)
+            acc_ref[:] += jax.lax.dot_general(
+                h, w2_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            if c == nt - 1:
+                xcur_ref[:] = acc_ref[:].astype(xcur_ref.dtype)
+
+                @pl.when(l == num_layers - 1)
+                def _():
+                    o_ref[:] = xcur_ref[:]
+
+
+def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
+                       itemsize: int, budget: int = _VMEM_BUDGET):
+    """``{"cq", "nq", "mt", "nt"}`` for :func:`encoder_stack`, or None.
+
+    Small-batch only: the whole (B*sp, D) activation plus its fp32 MLP
+    accumulator and packed QKV must be VMEM-resident alongside the
+    double-buffered weight tiles of two consecutive layers.
+    """
+    if d % 128 or sp % 8 or d % num_heads or mlp % 128:
+        return None
+    if b > 2 and not os.environ.get("VIT_TPU_STACK_PLAN"):
+        # Measured cliff on v5e: b=3 runs at ~420us/layer vs b=2's 47 (same
+        # plans, same code) — an unexplained Mosaic scheduling collapse.
+        # Until understood, the stack serves only b<=2; larger batches use
+        # the per-layer mega-kernels.
+        return None
+    m = b * sp
+
+    def feasible(cq, mt):
+        if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
+            return None
+        w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * itemsize
+        scratch = m * d * (2 * itemsize + 4) + 3 * m * d * itemsize
+        io = 2 * m * d * itemsize
+        temps = (m * cq * 4                     # z fp32 (all rows at once)
+                 + sp * sp * 4 * 2              # scores + probs
+                 + sp * d * 4                   # ctx / out fp32
+                 + m * mt * (4 + itemsize))     # mlp hidden
+        if w + scratch + io + temps > budget:
+            return None
+        return {"cq": cq, "nq": 3 * d // cq, "mt": mt, "nt": mlp // mt}
+
+    env = os.environ.get("VIT_TPU_STACK_PLAN")
+    if env:
+        cq, mt = map(int, env.split(","))
+        return feasible(cq, mt)
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("encstack", dtype, (b, sp, d, mlp, num_heads))
+    if hit is not None:
+        plan = feasible(int(hit["cq"]), int(hit["mt"]))
+        if plan is not None:
+            return plan
+    # Measured ordering on v5e (bs=1 bf16 B/16): cq=d beats both the
+    # single-chunk 3d (worse DMA/compute interleave: 0.375 vs 0.320 ms)
+    # and d/2 (more per-step bubbles); mt around 1024 is flat. The first
+    # feasible (cq, mt) in this preference order wins; the tuned table
+    # overrides per shape.
+    for cq in (d, d // 2, 3 * d):
+        for mt in (1024, 768, 1536, 512, 384, 256):
+            plan = feasible(cq, mt)
+            if plan is not None:
+                return plan
+    return None
+
+
+def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
+                  scale: float | None = None, seq_len: int | None = None,
+                  eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+    """Run the full stacked encoder (``enc`` = scan-stacked params pytree
+    with leaves ``ln1/qkv/out/ln2/fc1/fc2``) in ONE Pallas kernel.
+
+    ``x``: (B, sp, D) with sp sublane-aligned; ``seq_len`` masks padded
+    keys. Requires :func:`encoder_stack_plan` (caller gates).
+    """
+    b, sp, d = x.shape
+    L, _, three_d = enc["qkv"]["kernel"].shape
+    mlp = enc["fc1"]["kernel"].shape[2]
+    hd = d // num_heads
+    assert three_d == 3 * d
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    plan = encoder_stack_plan(b, sp, d, mlp, num_heads, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
+    cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    m = b * sp
+    T = nq + b + nt
+
+    kernel = functools.partial(
+        _encoder_stack_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
+        nt=nt, num_layers=L, precision=_dot_precision(x.dtype))
+
+    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    last_q, last_m = nq - 1, nt - 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, T),
+        in_specs=[
+            full,                                               # x
+            lvec(d), lvec(d),                                   # ln1
+            pl.BlockSpec((1, d, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),              # wqkv tile
+            pl.BlockSpec((1, 1, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),              # bqkv tile
+            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),              # wout
+            lvec(d),                                            # bout
+            lvec(d), lvec(d),                                   # ln2
+            pl.BlockSpec((1, d, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),              # w1 tile
+            pl.BlockSpec((1, 1, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),              # b1 tile
+            pl.BlockSpec((1, mt, d),
+                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         memory_space=pltpu.VMEM),              # w2 tile
+            lvec(d),                                            # b2
+        ],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, d), x.dtype),       # resident activation
+            pltpu.VMEM((3, m, d), x.dtype),    # packed q/k/v
+            pltpu.VMEM((m, d), jnp.float32),   # mlp accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=L * (2 * m * d * 4 * d + 4 * m * sp * d
+                       + 4 * m * d * mlp),
+            bytes_accessed=(2 * m * d
+                            + L * (4 * d * d + 2 * d * mlp)
+                            ) * x.dtype.itemsize,
+            transcendentals=L * m * (sp + mlp)),
+        interpret=interpret,
+    )(x.reshape(m, d),
+      enc["ln1"]["scale"].reshape(L, 1, d), enc["ln1"]["bias"].reshape(L, 1, d),
+      enc["qkv"]["kernel"], enc["qkv"]["bias"].reshape(L, 1, 3 * d),
+      enc["out"]["kernel"], enc["out"]["bias"].reshape(L, 1, d),
+      enc["ln2"]["scale"].reshape(L, 1, d), enc["ln2"]["bias"].reshape(L, 1, d),
+      enc["fc1"]["kernel"], enc["fc1"]["bias"].reshape(L, 1, mlp),
+      enc["fc2"]["kernel"], enc["fc2"]["bias"].reshape(L, 1, d))
     return out.reshape(b, sp, d)
 
 

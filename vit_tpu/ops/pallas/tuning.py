@@ -63,11 +63,22 @@ def key(op: str, dtype, dims: tuple[int, ...]) -> str:
 def lookup(op: str, dtype, dims: tuple[int, ...]) -> dict | None:
     """Exact-match lookup, then the leading-dim-0 wildcard (the leading dim
     is the batch-dependent one for every op: m for matmul, B*H for flash)."""
+    exact, wild = lookup_split(op, dtype, dims)
+    return exact if exact is not None else wild
+
+
+def lookup_split(op: str, dtype,
+                 dims: tuple[int, ...]) -> tuple[dict | None, dict | None]:
+    """(exact hit, leading-dim-0 wildcard hit) — for callers whose static
+    heuristic should outrank a wildcard measured at a different leading dim
+    but never an exact-shape measurement (the block kernels: a bs=32
+    wildcard must not force the throughput layout onto bs=1)."""
     t = table()
-    hit = t.get(key(op, dtype, dims))
-    if hit is None and dims and dims[0] != 0:
-        hit = t.get(key(op, dtype, (0,) + dims[1:]))
-    return hit
+    exact = t.get(key(op, dtype, dims))
+    wild = None
+    if dims and dims[0] != 0:
+        wild = t.get(key(op, dtype, (0,) + dims[1:]))
+    return exact, wild
 
 
 def record(op: str, dtype, dims: tuple[int, ...], value: dict, *,

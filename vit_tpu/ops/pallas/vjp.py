@@ -509,3 +509,47 @@ def _attn_block_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
 
 
 attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+def _stack_composed(x, enc, num_heads, scale, seq_len, eps, interpret):
+    """Differentiable op-chain equivalent of the encoder-stack mega-kernel:
+    lax.scan of the composed per-layer blocks (remat backward)."""
+    def body(h, lp):
+        h = _attn_composed(h, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                           lp["qkv"]["kernel"], lp["qkv"]["bias"],
+                           lp["out"]["kernel"], lp["out"]["bias"],
+                           num_heads, scale, seq_len, eps, interpret)
+        return _mlp_composed(h, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                             lp["fc1"]["kernel"], lp["fc1"]["bias"],
+                             lp["fc2"]["kernel"], lp["fc2"]["bias"],
+                             eps, interpret), None
+    return jax.lax.scan(body, x, enc)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def encoder_stack(x, enc, num_heads: int, scale: float | None = None,
+                  seq_len: int | None = None, eps: float = 1e-12,
+                  interpret: bool = False):
+    """Differentiable whole-encoder mega-kernel
+    (vit_tpu/ops/pallas/block.py:encoder_stack)."""
+    from vit_tpu.ops.pallas.block import encoder_stack as _k
+    return _k(x, enc, num_heads=num_heads, scale=scale, seq_len=seq_len,
+              eps=eps, interpret=interpret)
+
+
+def _encoder_stack_fwd(x, enc, num_heads, scale, seq_len, eps, interpret):
+    from vit_tpu.ops.pallas.block import encoder_stack as _k
+    y = _k(x, enc, num_heads=num_heads, scale=scale, seq_len=seq_len,
+           eps=eps, interpret=interpret)
+    return y, (x, enc)
+
+
+def _encoder_stack_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
+    x, enc = res
+    _, vjp_fn = jax.vjp(
+        lambda x, enc: _stack_composed(x, enc, num_heads, scale, seq_len,
+                                       eps, interpret), x, enc)
+    return vjp_fn(g)
+
+
+encoder_stack.defvjp(_encoder_stack_fwd, _encoder_stack_bwd)
