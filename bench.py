@@ -68,7 +68,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--attention", default="flash", choices=["flash", "unfused"])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sweep", action="store_true",

@@ -223,8 +223,20 @@ def sweep_attnblock(b: int, sp: int, cfg: ViTConfig, dtype):
     d, nh = cfg.hidden_dim, cfg.num_heads
     x, g, be, wqkv, bqkv, wout, bout, *_ = _block_inputs(b, sp, cfg, dtype)
 
-    cands = ["wstream"] if b <= 8 else []
-    cands += [f"mstream,{gr}" for gr in (1, 2, 4, 8) if b % gr == 0]
+    it = jnp.dtype(dtype).itemsize
+    # VMEM-infeasible forced configs don't just fail — a pathological
+    # Mosaic compile can wedge this platform's compile service for ALL
+    # processes (observed: fp32 mstream,8). Pre-filter by the same
+    # per-batch footprint model the plan uses, against the compiler limit.
+    w = (d * 3 * d + d * d) * it
+    per_batch = (2 * 2 * sp * d * it + sp * d * (4 + 3 * it)
+                 + sp * sp * 8 + sp * d * 4)
+    wstream_bytes = (2 * 2 * d * d * it + d * d * it + 6 * b * sp * d * it
+                     + sp * d * 8 + sp * sp * 8 + sp * d * 4)
+    limit = 26 * 2**20
+    cands = ["wstream"] if b <= 8 and wstream_bytes <= limit else []
+    cands += [f"mstream,{gr}" for gr in (1, 2, 4, 8)
+              if b % gr == 0 and w + gr * per_batch <= limit]
 
     def step(c, x, *w):
         out = attn_block(x * (1 + c * 1e-30).astype(dtype), *w,
@@ -380,10 +392,12 @@ def main():
         d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
         for b in args.batches:
             m = b * sp
+            layer_ms = 0.0  # best per-layer (mlp+attn) time, encstack's bar
             log(f"[mlpblock {args.dtype}] m={m} d={d} mlp={mlp}")
             rows = sweep_mlpblock(b, sp, cfg, dtype)
             if rows:
                 best = min(rows, key=lambda r: r["ms"])
+                layer_ms += best["ms"]
                 tuning.record(
                     "mlpblock", dtype, (m, d, mlp),
                     {"bm": best["bm"], "nt": best["nt"], "ct": best["ct"]},
@@ -398,6 +412,7 @@ def main():
             rows = sweep_attnblock(b, sp, cfg, dtype)
             if rows:
                 best = min(rows, key=lambda r: r["ms"])
+                layer_ms += best["ms"]
                 val = ({"layout": "wstream"} if best["cand"] == "wstream"
                        else {"layout": "mstream",
                              "group": int(best["cand"].split(",")[1])})
@@ -412,14 +427,24 @@ def main():
                 rows = sweep_encstack(b, sp, cfg, dtype)
                 if rows:
                     best = min(rows, key=lambda r: r["ms"])
-                    tuning.record("encstack", dtype, (b, sp, d, mlp, nh),
-                                  {"cq": best["cq"], "mt": best["mt"]},
-                                  extra={"ms": round(best["ms"], 6),
-                                         "shape": f"bs{b} v5e"})
                     sweep_log["sweeps"].append(
                         {"op": "encstack", "shape": [b, sp, d, mlp, nh],
                          "rows": rows})
-                    log(f"  -> winner ({best['cq']},{best['mt']})")
+                    # Record only if the stack beats the tuned per-layer
+                    # alternative — a recorded entry OVERRIDES the plan
+                    # gate, so it must prove itself (the fp32/b>2 stack
+                    # hits a Mosaic scheduling cliff).
+                    bar = layer_ms * cfg.num_layers
+                    if layer_ms and best["ms"] >= bar:
+                        log(f"  -> best ({best['cq']},{best['mt']}) "
+                            f"{best['ms']:.4f} ms LOSES to per-layer "
+                            f"{bar:.4f} ms — not recorded")
+                    else:
+                        tuning.record("encstack", dtype, (b, sp, d, mlp, nh),
+                                      {"cq": best["cq"], "mt": best["mt"]},
+                                      extra={"ms": round(best["ms"], 6),
+                                             "shape": f"bs{b} v5e"})
+                        log(f"  -> winner ({best['cq']},{best['mt']})")
 
     os.makedirs("benchmarks/tune", exist_ok=True)
     path = f"benchmarks/tune/sweep_{args.op}_{args.dtype}.json"

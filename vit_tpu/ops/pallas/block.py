@@ -637,12 +637,6 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
     """
     if d % 128 or sp % 8 or d % num_heads or mlp % 128:
         return None
-    if b > 2 and not os.environ.get("VIT_TPU_STACK_PLAN"):
-        # Measured cliff on v5e: b=3 runs at ~420us/layer vs b=2's 47 (same
-        # plans, same code) — an unexplained Mosaic scheduling collapse.
-        # Until understood, the stack serves only b<=2; larger batches use
-        # the per-layer mega-kernels.
-        return None
     m = b * sp
 
     def feasible(cq, mt):
@@ -670,6 +664,16 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
         plan = feasible(int(hit["cq"]), int(hit["mt"]))
         if plan is not None:
             return plan
+    from vit_tpu.ops.dispatch import interpret_mode
+    if (b > 2 or itemsize != 2) and not interpret_mode():
+        # Measured cliffs on v5e (Mosaic-compiled only — the interpreter is
+        # unaffected): b=3 runs at ~420us/layer vs b=2's 47, and the fp32
+        # stack at bs=1 hits 8.0 ms vs 1.4 for the per-layer kernels (same
+        # plans, same code) — an unexplained Mosaic scheduling collapse.
+        # Without a tuned entry proving otherwise the heuristic serves only
+        # b<=2 bf16 on hardware; everything else falls back to the
+        # per-layer mega-kernels.
+        return None
     # Measured ordering on v5e (bs=1 bf16 B/16): cq=d beats both the
     # single-chunk 3d (worse DMA/compute interleave: 0.375 vs 0.320 ms)
     # and d/2 (more per-step bubbles); mt around 1024 is flat. The first
