@@ -143,7 +143,8 @@ def test_flash_attention_seq_len_multi_kv_blocks(rng):
     pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
     got = p_attn.flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
                                  jnp.pad(v, pad), seq_len=s,
-                                 block_q=128, block_k=128, interpret=True)
+                                 block_q=128, block_k=128,
+                                 force_online=True, interpret=True)
     want = R.attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got[:, :, :s]), np.asarray(want),
                                atol=2e-5)
@@ -155,7 +156,7 @@ def test_flash_attention_multi_kv_blocks(rng):
     shape = (1, 2, 577, 64)
     q, k, v = (_rand(rng, shape, jnp.float32) for _ in range(3))
     got = p_attn.flash_attention(q, k, v, block_q=128, block_k=128,
-                                 interpret=True)
+                                 force_online=True, interpret=True)
     want = R.attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 

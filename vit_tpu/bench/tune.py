@@ -134,12 +134,15 @@ def sweep_matmul(m: int, n: int, k: int, dtype, limit: int):
     return rows
 
 
-def sweep_flash(bh: int, s: int, d: int, dtype):
+def sweep_flash(bh: int, s: int, d: int, dtype, raw: bool = False):
+    """``raw=False``: pre-padded operands (the model's contract, rows-view
+    kernel, tuned op "flash"); ``raw=True``: unaligned S straight from the
+    caller (batched-3D kernel, tuned op "flash3d")."""
     from vit_tpu.ops.pallas.attention import flash_attention
 
     sp = round_up(s, 16)
     rng = np.random.default_rng(0)
-    shape = (1, bh, sp, d)  # pre-padded, like the model path
+    shape = (1, bh, s if raw else sp, d)
     q = jnp.asarray(rng.standard_normal(shape), dtype)
     k = jnp.asarray(rng.standard_normal(shape), dtype)
     v = jnp.asarray(rng.standard_normal(shape), dtype)
@@ -368,24 +371,30 @@ def main():
 
     if args.op in ("flash", "all"):
         sp = round_up(cfg.seq_len, 16)
-        for b in args.batches:
-            bh = b * cfg.num_heads
-            log(f"[flash {args.dtype}] bh={bh} s={cfg.seq_len} (sp={sp}) "
-                f"d={cfg.head_dim}")
-            rows = sweep_flash(bh, cfg.seq_len, cfg.head_dim, dtype)
-            if not rows:
-                continue
-            best = min(rows, key=lambda r: r["ms"])
-            meta = {"ms": round(best["ms"], 6),
-                    "tflops": round(best["tflops"], 1)}
-            tuning.record("flash", dtype, (bh, sp, cfg.head_dim),
-                          {"group": best["group"]}, extra=meta)
-            if b == args.wildcard_batch:
-                tuning.record("flash", dtype, (0, sp, cfg.head_dim),
+        for op, raw in (("flash", False), ("flash3d", True)):
+            if raw and sp == cfg.seq_len:
+                continue  # aligned S never takes the 3D path
+            for b in args.batches:
+                bh = b * cfg.num_heads
+                log(f"[{op} {args.dtype}] bh={bh} s={cfg.seq_len} (sp={sp}) "
+                    f"d={cfg.head_dim}")
+                rows = sweep_flash(bh, cfg.seq_len, cfg.head_dim, dtype,
+                                   raw=raw)
+                if not rows:
+                    continue
+                best = min(rows, key=lambda r: r["ms"])
+                meta = {"ms": round(best["ms"], 6),
+                        "tflops": round(best["tflops"], 1)}
+                tuning.record(op, dtype, (bh, sp, cfg.head_dim),
                               {"group": best["group"]}, extra=meta)
-            sweep_log["sweeps"].append(
-                {"op": "flash", "shape": [bh, sp, cfg.head_dim], "rows": rows})
-            log(f"  -> winner group={best['group']} {best['tflops']:.1f} TF/s")
+                if b == args.wildcard_batch:
+                    tuning.record(op, dtype, (0, sp, cfg.head_dim),
+                                  {"group": best["group"]}, extra=meta)
+                sweep_log["sweeps"].append(
+                    {"op": op, "shape": [bh, sp, cfg.head_dim],
+                     "rows": rows})
+                log(f"  -> winner group={best['group']} "
+                    f"{best['tflops']:.1f} TF/s")
 
     if args.op in ("block", "all"):
         sp = round_up(cfg.seq_len, 16)

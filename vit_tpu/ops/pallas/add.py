@@ -76,14 +76,16 @@ if __name__ == "__main__":
             a = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
             b = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(c):
+                def step(c, a, b):
                     out = fn(a * (1 + c * 1e-30).astype(dt), b)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, v: add(u, v)), lengths=(100, 2100))
-            xla = bench_chained(mk(reference.add), lengths=(100, 2100))
+            pal = bench_chained(mk(lambda u, v: add(u, v)), lengths=(100, 2100), args=(a, b))
+            xla = bench_chained(mk(reference.add), lengths=(100, 2100), args=(a, b))
             gbps = 3 * args.B * n * args.D * dt.itemsize / 1e9
             rows.append({"N": n, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),

@@ -127,14 +127,16 @@ if __name__ == "__main__":
         for n in [256, 512, 1024, 2048, 3840]:
             a = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(c):
+                def step(c, a, s, b):
                     out = fn(a * (1 + c * 1e-30).astype(dt), s, b)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, s2, b2: layernorm(u, s2, b2)), lengths=(100, 2100))
-            xla = bench_chained(mk(reference.layernorm), lengths=(100, 2100))
+            pal = bench_chained(mk(lambda u, s2, b2: layernorm(u, s2, b2)), lengths=(100, 2100), args=(a, s, b))
+            xla = bench_chained(mk(reference.layernorm), lengths=(100, 2100), args=(a, s, b))
             gbps = 2 * args.B * n * args.D * dt.itemsize / 1e9
             rows.append({"N": n, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),

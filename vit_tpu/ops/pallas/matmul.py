@@ -445,14 +445,16 @@ if __name__ == "__main__":
             a = jnp.asarray(rng.standard_normal((1, size, size)) * 0.1, dt)
             ww = jnp.asarray(rng.standard_normal((size, size)) * 0.1, dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(c):
+                def step(c, a, ww):
                     out = fn(a * (1 + c * 1e-30).astype(dt), ww)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, v: matmul(u, v)))
-            xla = bench_chained(mk(reference.matmul))
+            pal = bench_chained(mk(lambda u, v: matmul(u, v)), args=(a, ww))
+            xla = bench_chained(mk(reference.matmul), args=(a, ww))
             tflops = 2 * size ** 3 / 1e12
             rows.append({"MNK": size, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_tflops": tflops / (pal / 1e3),

@@ -185,14 +185,16 @@ if __name__ == "__main__":
             a = jnp.asarray(rng.standard_normal((args.B, s, 64)) * 0.3, dt)
             bb = jnp.asarray(rng.standard_normal((args.B, 64, s)) * 0.3, dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(c):
+                def step(c, a, bb):
                     out = fn(a * (1 + c * 1e-30).astype(dt), bb)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, v: matmul3(u, v, scale=0.125)))
-            xla = bench_chained(mk(lambda u, v: reference.matmul3(u, v, scale=0.125)))
+            pal = bench_chained(mk(lambda u, v: matmul3(u, v, scale=0.125)), args=(a, bb))
+            xla = bench_chained(mk(lambda u, v: reference.matmul3(u, v, scale=0.125)), args=(a, bb))
             tflops = 2 * args.B * s * s * 64 / 1e12
             rows.append({"S": s, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_tflops": tflops / (pal / 1e3),

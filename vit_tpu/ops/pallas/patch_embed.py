@@ -68,14 +68,16 @@ if __name__ == "__main__":
         for bsz in [1, 8, 32, 64]:
             xx = jnp.asarray(rng.standard_normal((bsz, c, args.H, args.H)), dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(cc):
+                def step(cc, xx, w, b):
                     out = fn(xx * (1 + cc * 1e-30).astype(dt), w, b, args.P)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u, ww, bb2, p: patch_embed(u, ww, bb2, p)))
-            xla = bench_chained(mk(reference.patch_embed))
+            pal = bench_chained(mk(lambda u, ww, bb2, p: patch_embed(u, ww, bb2, p)), args=(xx, w, b))
+            xla = bench_chained(mk(reference.patch_embed), args=(xx, w, b))
             n = (args.H // args.P) ** 2
             gb = (bsz * n * (c * args.P ** 2 + args.D) * dt.itemsize) / 1e9
             rows.append({"B": bsz, "pallas_ms": pal, "xla_ms": xla,

@@ -79,14 +79,16 @@ if __name__ == "__main__":
         for d in [128, 256, 512, 1024, 2048]:
             a = jnp.asarray(rng.standard_normal((args.B, 1024, d)), dt)
 
+            # Operands as jit ARGUMENTS, not closure constants (closure
+            # capture inflates tunneled measurements ~1.7x).
             def mk(fn):
-                def step(c):
+                def step(c, a):
                     out = fn(a * (1 + c * 1e-30).astype(dt))
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
-            pal = bench_chained(mk(lambda u: softmax(u)), lengths=(100, 2100))
-            xla = bench_chained(mk(reference.softmax), lengths=(100, 2100))
+            pal = bench_chained(mk(lambda u: softmax(u)), lengths=(100, 2100), args=(a,))
+            xla = bench_chained(mk(reference.softmax), lengths=(100, 2100), args=(a,))
             gbps = 2 * args.B * 1024 * d * dt.itemsize / 1e9
             rows.append({"D": d, "pallas_ms": pal, "xla_ms": xla,
                          "pallas_gbps": gbps / (pal / 1e3),
