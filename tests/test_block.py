@@ -197,3 +197,83 @@ def test_block_model_forward_matches_unfused(dtype):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=tol, rtol=0)
+
+
+def _layer_inputs(rng, b=2, s=32, d=256, heads=4, mlp=512,
+                  dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    return (x, arr(d, sc=0.5) + 1, arr(d), arr(d, 3 * d), arr(3 * d),
+            arr(d, d), arr(d), arr(d, sc=0.5) + 1, arr(d),
+            arr(d, mlp), arr(mlp), arr(mlp, d), arr(d))
+
+
+def test_layer_block_matches_composed_with_padding():
+    rng = np.random.default_rng(5)
+    seq_len = 27
+    a = _layer_inputs(rng)
+    x = a[0].at[:, seq_len:].set(0)
+    got = ops.layer_block(x, *a[1:], num_heads=4, seq_len=seq_len,
+                          impl="pallas")
+    want = ops.layer_block(x, *a[1:], num_heads=4, seq_len=seq_len,
+                           impl="xla")
+    np.testing.assert_allclose(np.asarray(got[:, :seq_len]),
+                               np.asarray(want[:, :seq_len]),
+                               atol=5e-4, rtol=0)
+
+
+def test_layer_block_chunked_hidden():
+    """nc > 1: the MLP hidden is produced in column chunks."""
+    rng = np.random.default_rng(6)
+    a = _layer_inputs(rng)
+    got = block.layer_block(*a, num_heads=4, plan={"group": 2, "ct": 256},
+                            interpret=True)
+    want = ops.layer_block(*a, num_heads=4, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=0)
+
+
+def test_layer_block_plan_is_opt_in(monkeypatch):
+    # No tuned entry, no env -> None (the model keeps the two-kernel path).
+    assert block.layer_block_plan(32, 208, 768, 3072, 12, 2) is None
+    # Env force -> a feasible plan.
+    monkeypatch.setenv("VIT_TPU_LAYER_PLAN", "1,512")
+    plan = block.layer_block_plan(32, 208, 768, 3072, 12, 2)
+    assert plan == {"group": 1, "ct": 512}
+    # Infeasible geometry stays gated even when forced.
+    assert block.layer_block_plan(8, 208, 8192, 32768, 16, 4) is None
+
+
+def test_layer_block_grad_matches_composed():
+    rng = np.random.default_rng(7)
+    a = _layer_inputs(rng)
+
+    def loss_mega(*args):
+        return jnp.mean(ops.layer_block(*args, num_heads=4,
+                                        impl="pallas") ** 2)
+
+    def loss_chain(*args):
+        return jnp.mean(ops.layer_block(*args, num_heads=4, impl="xla") ** 2)
+
+    g_mega = jax.grad(loss_mega, argnums=(0, 3, 9))(*a)
+    g_chain = jax.grad(loss_chain, argnums=(0, 3, 9))(*a)
+    for gm, gc in zip(g_mega, g_chain):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gc),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_model_routes_layer_block_when_forced(monkeypatch):
+    """With a forced layer plan, the model's fused pallas path runs the
+    full-layer mega-kernel and still matches the xla forward."""
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models import vit
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=128,
+                    num_heads=4, num_layers=2, mlp_dim=256)
+    params = vit.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(8)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    want = np.asarray(vit.forward(params, px, cfg, impl="xla"))
+    monkeypatch.setenv("VIT_TPU_LAYER_PLAN", "1,256")
+    got = np.asarray(vit.forward(params, px, cfg, impl="pallas"))
+    np.testing.assert_allclose(got, want, atol=5e-4)

@@ -77,3 +77,13 @@ def test_padding_images_do_not_leak(pred, rng):
     padded_batch = np.asarray(pred(np.concatenate([px] * 3)))  # plan [2, 1]
     np.testing.assert_allclose(single[0], padded_batch[0], atol=1e-5)
     np.testing.assert_allclose(single[0], padded_batch[2], atol=1e-5)
+
+
+def test_bench_serving_tiny(tmp_path):
+    """The on-chip serving benchmark CLI runs end-to-end in tiny/CPU mode
+    and writes the reference-layout artifact."""
+    from vit_tpu.bench import serving as bench_serving
+
+    bench_serving.main(["--tiny", "--impl", "xla", "--dtype", "float32",
+                        "--out-root", str(tmp_path)])
+    assert (tmp_path / "serving" / "Performance.csv").exists()

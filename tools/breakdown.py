@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--seq-pad", type=int, default=208,
                     help="padded token count used on the pallas path")
+    ap.add_argument("--blocks", action="store_true",
+                    help="time the production-path units (attn_block / "
+                         "mlp_block mega-kernels) instead of composed ops")
     args = ap.parse_args()
 
     dt = jnp.dtype(args.dtype)
@@ -64,6 +67,55 @@ def main():
               f"({flops_g / xla_ms:6.1f} TF/s)", flush=True)
 
     mP, mX = b * sp, b * s  # row counts on each path
+
+    if args.blocks:
+        # Production-path units: each encoder half-block is ONE kernel.
+        h, hd = cfg.num_heads, cfg.head_dim
+        g1 = arr(d, scale=1).astype(dt) * 0 + 1
+        b1 = arr(d, scale=0)
+        xbP = arr(b, sp, d)
+        xbX = arr(b, s, d)
+        w_qkv, b_qkv = arr(d, 3 * d), arr(3 * d)
+        w_o, b_o = arr(d, d), arr(d)
+        w1, bb1 = arr(d, mlp), arr(mlp)
+        w2, bb2 = arr(mlp, d), arr(d)
+
+        flops_attn = (2 * mP * d * 3 * d + 4 * b * h * sp * sp * hd
+                      + 2 * mP * d * d) / 1e9
+        row("attn_block (ln+qkv+mha+proj)", flops_attn,
+            t(lambda x: ops.attn_block(x, g1, b1, w_qkv, b_qkv, w_o, b_o,
+                                       num_heads=h, seq_len=s,
+                                       impl="pallas"), xbP),
+            t(lambda x: ops.attn_block(x, g1, b1, w_qkv, b_qkv, w_o, b_o,
+                                       num_heads=h, seq_len=s,
+                                       impl="xla"), xbX))
+        flops_mlp = 4 * mP * d * mlp / 1e9
+        row("mlp_block (ln+fc1+gelu+fc2)", flops_mlp,
+            t(lambda x: ops.mlp_block(x, g1, b1, w1, bb1, w2, bb2,
+                                      impl="pallas"), xbP),
+            t(lambda x: ops.mlp_block(x, g1, b1, w1, bb1, w2, bb2,
+                                      impl="xla"), xbX))
+
+        px = arr(b, 3, cfg.image_size, cfg.image_size)
+        wpe, bpe = arr(cfg.patch_dim, d), arr(d)
+        row("patch_embed", 2 * b * (s - 1) * cfg.patch_dim * d / 1e9,
+            t(lambda x: ops.patch_embed(x, wpe, bpe, cfg.patch_size,
+                                        impl="pallas"), px),
+            t(lambda x: ops.patch_embed(x, wpe, bpe, cfg.patch_size,
+                                        impl="xla"), px),
+            per_layer=False)
+        xfP, xfX = arr(mP, d), arr(mX, d)
+        row("final layernorm", 0.01,
+            t(lambda x: ops.layernorm(x, g1, b1, impl="pallas"), xfP),
+            t(lambda x: ops.layernorm(x, g1, b1, impl="xla"), xfX),
+            per_layer=False)
+
+        L = cfg.num_layers
+        tot_p = sum(r[2] * (L if r[4] else 1) for r in rows)
+        tot_x = sum(r[3] * (L if r[4] else 1) for r in rows)
+        print(f"\nsum (x{L} layers + once-ops):  pallas {tot_p:.3f} ms   "
+              f"xla {tot_x:.3f} ms")
+        return
 
     # -- qkv: LN prologue + (m,768)@(768,2304) --------------------------------
     g1, b1 = arr(d, scale=1).astype(dt) * 0 + 1, arr(d, scale=0)

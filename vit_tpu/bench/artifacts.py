@@ -17,7 +17,8 @@ from typing import Sequence
 def write_perf_report(name: str, rows: Sequence[dict], *,
                       x_key: str, y_keys: Sequence[str],
                       y_label: str = "ms",
-                      out_root: str = "benchmarks") -> str:
+                      out_root: str = "benchmarks",
+                      plot: bool = True) -> str:
     """Write ``<out_root>/<name>/Performance.csv`` (+ ``.png`` when
     matplotlib is available). Returns the directory written."""
     out_dir = os.path.join(out_root, name)
@@ -36,6 +37,8 @@ def write_perf_report(name: str, rows: Sequence[dict], *,
         w.writeheader()
         w.writerows(rows)
 
+    if not plot:  # single-row reports (e.g. serving) have nothing to plot
+        return out_dir
     try:
         import matplotlib
         matplotlib.use("Agg")

@@ -262,6 +262,47 @@ def sweep_attnblock(b: int, sp: int, cfg: ViTConfig, dtype):
     return rows
 
 
+def sweep_layerblock(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Sweep (group, ct) plans for the FULL-layer mega-kernel (attn + MLP
+    fused, no inter-half HBM round trip)."""
+    from vit_tpu.ops.pallas.block import layer_block, layer_block_plan
+
+    d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+    it = jnp.dtype(dtype).itemsize
+    inputs = _block_inputs(b, sp, cfg, dtype)
+
+    def step(c, x, *w):
+        out = layer_block(x * (1 + c * 1e-30).astype(dtype), *w,
+                          num_heads=nh, seq_len=cfg.seq_len)
+        return jnp.mean(out).astype(jnp.float32)
+
+    rows = []
+    for gr in (1, 2, 4):
+        if b % gr:
+            continue
+        for ct in (mlp, 1024, 512):
+            if mlp % ct:
+                continue
+            os.environ["VIT_TPU_LAYER_PLAN"] = f"{gr},{ct}"
+            # Same wedge-avoidance rule as attnblock: only run configs the
+            # plan's own VMEM model accepts.
+            if layer_block_plan(b, sp, d, mlp, nh, it) is None:
+                os.environ.pop("VIT_TPU_LAYER_PLAN", None)
+                continue
+            try:
+                ms = _bench(step, inputs)
+            except Exception as e:  # noqa: BLE001
+                log(f"  layer ({gr},{ct}) FAIL: {str(e)[:80]}")
+                continue
+            finally:
+                os.environ.pop("VIT_TPU_LAYER_PLAN", None)
+            fl = 2 * b * sp * d * (4 * d + 2 * mlp) + 4 * b * sp * sp * d
+            tflops = fl / 1e12 / (ms / 1e3)
+            rows.append({"group": gr, "ct": ct, "ms": ms, "tflops": tflops})
+            log(f"  layer ({gr},{ct}) {ms:.4f} ms = {tflops:.1f} TF/s")
+    return rows
+
+
 def sweep_encstack(b: int, sp: int, cfg: ViTConfig, dtype):
     """Sweep (cq, mt) tile configs for the whole-encoder mega-kernel."""
     from vit_tpu.ops.pallas.block import encoder_stack, encoder_stack_plan
@@ -333,11 +374,16 @@ def main():
                     help="extra square MxNxK shapes to tune (e.g. 4096)")
     ap.add_argument("--wildcard-batch", type=int, default=32,
                     help="batch whose winners also become m=0 wildcards")
+    ap.add_argument("--variant", default="B/16",
+                    help="model variant whose shapes to tune (see "
+                         "vit_tpu.config.VARIANTS)")
     args = ap.parse_args()
 
+    from vit_tpu.config import VARIANTS
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = ViTConfig(dtype=dtype)
-    sweep_log: dict = {"dtype": args.dtype, "device": str(jax.devices()[0]),
+    cfg = VARIANTS[args.variant].replace(dtype=dtype)
+    sweep_log: dict = {"dtype": args.dtype, "variant": args.variant,
+                       "device": str(jax.devices()[0]),
                        "sweeps": []}
 
     if args.op in ("matmul", "all"):
@@ -431,6 +477,30 @@ def main():
                 sweep_log["sweeps"].append(
                     {"op": "attnblock", "shape": [b, sp, d, nh], "rows": rows})
                 log(f"  -> winner {best['cand']}")
+            log(f"[layerblock {args.dtype}] b={b} sp={sp} d={d} mlp={mlp}")
+            rows = sweep_layerblock(b, sp, cfg, dtype)
+            if rows:
+                best = min(rows, key=lambda r: r["ms"])
+                sweep_log["sweeps"].append(
+                    {"op": "layerblock", "shape": [b, sp, d, mlp, nh],
+                     "rows": rows})
+                # A recorded entry IS the routing decision (layer_block_plan
+                # is opt-in) — record only a genuine win over the tuned
+                # attn_block + mlp_block pair.
+                if layer_ms and best["ms"] >= layer_ms:
+                    log(f"  -> best ({best['group']},{best['ct']}) "
+                        f"{best['ms']:.4f} ms LOSES to split pair "
+                        f"{layer_ms:.4f} ms — not recorded")
+                    tuning.forget("layerblock", dtype, (b, sp, d, mlp, nh))
+                else:
+                    tuning.record("layerblock", dtype, (b, sp, d, mlp, nh),
+                                  {"group": best["group"], "ct": best["ct"]},
+                                  extra={"ms": round(best["ms"], 6),
+                                         "vs_pair_ms": round(layer_ms, 6),
+                                         "shape": f"bs{b} v5e"})
+                    log(f"  -> winner ({best['group']},{best['ct']}) "
+                        f"{best['tflops']:.1f} TF/s beats pair "
+                        f"{layer_ms:.4f} ms")
             if b <= 2:
                 log(f"[encstack {args.dtype}] b={b} sp={sp}")
                 rows = sweep_encstack(b, sp, cfg, dtype)
@@ -456,7 +526,9 @@ def main():
                         log(f"  -> winner ({best['cq']},{best['mt']})")
 
     os.makedirs("benchmarks/tune", exist_ok=True)
-    path = f"benchmarks/tune/sweep_{args.op}_{args.dtype}.json"
+    tag = "" if args.variant == "B/16" else \
+        f"_{args.variant.replace('/', '_')}"
+    path = f"benchmarks/tune/sweep_{args.op}{tag}_{args.dtype}.json"
     with open(path, "w") as f:
         json.dump(sweep_log, f, indent=1)
     log(f"sweep log -> {path}; winners -> {tuning._PATH}")

@@ -129,6 +129,18 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
         # VMEM-resident weights (vit_tpu/ops/pallas/block.py) — no head
         # transposes, no LN-stats pass, no HBM round trip for QKV, scores,
         # context, or the MLP hidden. Identical math to the chain below.
+        # When the tuner recorded a full-layer win, BOTH halves fuse into
+        # one kernel and the inter-half activation never reaches HBM.
+        if ops.layer_plan(b, s, d, cfg.mlp_dim, nh, x.dtype.itemsize):
+            return ops.layer_block(
+                x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["qkv"]["kernel"], lp["qkv"]["bias"],
+                lp["out"]["kernel"], lp["out"]["bias"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"],
+                lp["fc1"]["kernel"], lp["fc1"]["bias"],
+                lp["fc2"]["kernel"], lp["fc2"]["bias"],
+                num_heads=nh, scale=hd ** -0.5, seq_len=seq_len, eps=eps,
+                impl=impl)
         x = ops.attn_block(
             x, lp["ln1"]["scale"], lp["ln1"]["bias"],
             lp["qkv"]["kernel"], lp["qkv"]["bias"],

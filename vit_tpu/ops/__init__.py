@@ -22,6 +22,7 @@ __all__ = [
     "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
     "mlp_block", "attn_block", "block_plans", "encoder_stack", "stack_plan",
+    "layer_block", "layer_plan",
     "resolve_impl", "interpret_mode", "reference",
 ]
 
@@ -133,6 +134,37 @@ def block_plans(batch: int, seq_pad: int, hidden: int, mlp: int,
             is not None
             and _b.attn_block_plan(batch, seq_pad, hidden, num_heads,
                                    itemsize) is not None)
+
+
+def layer_plan(batch: int, seq_pad: int, hidden: int, mlp: int,
+               num_heads: int, itemsize: int):
+    """Plan for the FULL-layer mega-kernel (attn + MLP in one pass), or
+    None. Opt-in: only returns a plan when the tuner recorded a per-shape
+    win or ``VIT_TPU_LAYER_PLAN`` forces one
+    (vit_tpu/ops/pallas/block.py:layer_block_plan)."""
+    from vit_tpu.ops.pallas import block as _b
+    return _b.layer_block_plan(batch, seq_pad, hidden, mlp, num_heads,
+                               itemsize)
+
+
+def layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                ln2_scale, ln2_bias, w1, b1, w2, b2, *, num_heads,
+                scale=None, seq_len=None, eps=1e-12, impl=None,
+                interpret=None):
+    """One FULL encoder layer in one Pallas pass: the attn_block and
+    mlp_block fusions composed without the inter-half HBM round trip
+    (vit_tpu/ops/pallas/block.py:layer_block). XLA path: the two composed
+    halves."""
+    if resolve_impl(impl) == "xla":
+        y = attn_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                       num_heads=num_heads, scale=scale, seq_len=seq_len,
+                       eps=eps, impl="xla")
+        return mlp_block(y, ln2_scale, ln2_bias, w1, b1, w2, b2, eps=eps,
+                         impl="xla")
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.layer_block(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                          ln2_scale, ln2_bias, w1, b1, w2, b2, num_heads,
+                          scale, seq_len, eps, interpret_mode(interpret))
 
 
 def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-12,

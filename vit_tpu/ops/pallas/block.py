@@ -217,6 +217,59 @@ def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
 
 # -------------------------------------------------------- attention block --
 
+def _ln32(x32, g_ref, b_ref, eps):
+    """Fused LN on an fp32 row block (stats in fp32, eps inside the sqrt —
+    reference vit/kernels/layernorm.py:72-73)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return xn * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+
+
+def _attn_core(x32, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, *,
+               eps, d, sp, num_heads, head_dim, scale, seq_len, precision,
+               cdtype):
+    """fp32 ``x32 + proj(MHA(LN(x32)))`` for one (sp, D) batch segment —
+    the shared body of :func:`_attn_kernel` and :func:`_layer_kernel`.
+    ``cdtype`` is the compute/storage dtype for the bf16-able temps."""
+    xn = _ln32(x32, g_ref, b_ref, eps).astype(cdtype)
+
+    # QKV one projection at a time: caps the fp32 temp at (sp, D).
+    proj = []
+    for p_i in range(3):
+        cols = slice(p_i * d, (p_i + 1) * d)
+        z = jax.lax.dot_general(
+            xn, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        z = z + bqkv_ref[:, cols].astype(jnp.float32)
+        proj.append(z.astype(cdtype))
+    q_all, k_all, v_all = proj
+
+    parts = []
+    for h in range(num_heads):
+        hs = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale
+        if seq_len != sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, float("-inf"))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(cdtype), v_all[:, hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        parts.append(ctx / l)
+    ctx_all = jnp.concatenate(parts, axis=1).astype(cdtype)
+
+    out = jax.lax.dot_general(
+        ctx_all, wout_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    return out + bout_ref[:].astype(jnp.float32) + x32
+
+
 def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                  bout_ref, o_ref, *, eps: float, d: int, sp: int,
                  num_heads: int, head_dim: int, scale: float, seq_len: int,
@@ -226,47 +279,11 @@ def _attn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
     (sp, D) projections — no head transposes anywhere."""
     for g in range(group):
         rows = slice(g * sp, (g + 1) * sp)
-        x32 = x_ref[rows, :].astype(jnp.float32)
-        mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
-        xn = (xn * g_ref[:].astype(jnp.float32)
-              + b_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-
-        # QKV one projection at a time: caps the fp32 temp at (sp, D).
-        proj = []
-        for p_i in range(3):
-            cols = slice(p_i * d, (p_i + 1) * d)
-            z = jax.lax.dot_general(
-                xn, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-            z = z + bqkv_ref[:, cols].astype(jnp.float32)
-            proj.append(z.astype(x_ref.dtype))
-        q_all, k_all, v_all = proj
-
-        parts = []
-        for h in range(num_heads):
-            hs = slice(h * head_dim, (h + 1) * head_dim)
-            s = jax.lax.dot_general(
-                q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision) * scale
-            if seq_len != sp:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < seq_len, s, float("-inf"))
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            ctx = jax.lax.dot_general(
-                p.astype(x_ref.dtype), v_all[:, hs], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-            parts.append(ctx / l)
-        ctx_all = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
-
-        out = jax.lax.dot_general(
-            ctx_all, wout_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        out = out + bout_ref[:].astype(jnp.float32) + x32
+        out = _attn_core(
+            x_ref[rows, :].astype(jnp.float32), g_ref, b_ref, wqkv_ref,
+            bqkv_ref, wout_ref, bout_ref, eps=eps, d=d, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype)
         o_ref[rows, :] = out.astype(o_ref.dtype)
 
 
@@ -510,6 +527,156 @@ def _attn_block_wstream(xf, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,
         interpret=interpret,
     )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+
+
+# ------------------------------------------------------------- layer block --
+
+def _layer_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref, wout_ref,
+                  bout_ref, g2_ref, bn2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  o_ref, *, eps: float, d: int, sp: int, num_heads: int,
+                  head_dim: int, scale: float, seq_len: int, group: int,
+                  nc: int, ct: int, precision):
+    """A FULL encoder layer for ``group`` batch segments in one pass:
+    ``y = x + proj(MHA(LN1 x))`` then ``y + fc2(gelu(fc1(LN2 y)))``.
+
+    vs the attn_block + mlp_block pair this removes the HBM round trip of
+    the inter-half activation y (2·sp·D·itemsize per batch per layer —
+    ~20 MB/layer at B/16 bs=32 bf16) and halves the grid-step count. All
+    four weight matrices stay VMEM-resident across the batch grid; the MLP
+    hidden is produced in (sp, ct) chunks like :func:`_mlp_kernel`.
+    """
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        y32 = _attn_core(
+            x_ref[rows, :].astype(jnp.float32), g1_ref, bn1_ref, wqkv_ref,
+            bqkv_ref, wout_ref, bout_ref, eps=eps, d=d, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype)
+
+        xn2 = _ln32(y32, g2_ref, bn2_ref, eps).astype(x_ref.dtype)
+        acc = y32 + b2_ref[:].astype(jnp.float32)
+        for c in range(nc):
+            sl = slice(c * ct, (c + 1) * ct)
+            h = jax.lax.dot_general(
+                xn2, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            h = gelu(h + b1_ref[:, sl].astype(jnp.float32)).astype(xn2.dtype)
+            acc = acc + jax.lax.dot_general(
+                h, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        o_ref[rows, :] = acc.astype(o_ref.dtype)
+
+
+def layer_block_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
+                     itemsize: int, budget: int = _VMEM_BUDGET):
+    """{"group": g, "ct": ct} for :func:`layer_block`, or None.
+
+    Opt-in like the encoder stack: a plan is returned only when forced via
+    ``VIT_TPU_LAYER_PLAN`` ("<group>,<ct>") or when the tuner recorded a
+    per-shape win (op ``layerblock``, dims (b, sp, d, mlp, heads) — the
+    sweep only records a winner that beats the tuned attn_block +
+    mlp_block pair, so an entry existing IS the routing decision)."""
+    if d % 128 or sp % 8 or d % num_heads or mlp % 128:
+        return None
+
+    def feasible(group, ct):
+        group = min(int(group), b)
+        while b % group:
+            group -= 1
+        ct = min(int(ct), mlp)
+        while mlp % ct:
+            ct -= 128
+        if ct <= 0:
+            return None
+        w = (4 * d * d + 2 * d * mlp) * itemsize     # wqkv+wout+w1+w2
+        per_batch = (2 * 2 * sp * d * itemsize       # x + out dbuf
+                     + sp * d * (4 + 3 * itemsize)   # fp32 proj + q/k/v
+                     + 2 * sp * sp * 4               # scores + probs fp32
+                     + sp * d * 4                    # ctx fp32
+                     + sp * d * (4 + itemsize)       # y32 + xn2
+                     + sp * ct * (4 + itemsize)      # hidden chunk
+                     + sp * d * 4)                   # fp32 acc
+        if w + group * per_batch > budget:
+            return None
+        return {"group": group, "ct": ct}
+
+    env = os.environ.get("VIT_TPU_LAYER_PLAN")
+    if env:
+        g_, ct_ = map(int, env.split(","))
+        return feasible(g_, ct_)
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    exact, wild = tuning.lookup_split("layerblock", dtype,
+                                      (b, sp, d, mlp, num_heads))
+    for hit in (exact, wild):
+        if hit is not None:
+            return feasible(hit["group"], hit["ct"])
+    return None
+
+
+def layer_block(x: jax.Array, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                ln2_scale, ln2_bias, w1, b1, w2, b2, *, num_heads: int,
+                scale: float | None = None, seq_len: int | None = None,
+                eps: float = 1e-12, plan: dict | None = None,
+                interpret: bool = False) -> jax.Array:
+    """One full encoder layer in ONE Pallas pass (see :func:`_layer_kernel`).
+
+    ``x``: (B, S, D), S sublane-aligned; weights in the model's packed
+    (in, out) convention. Requires a plan (caller gates on
+    :func:`layer_block_plan`, or passes one explicitly for tests)."""
+    b, sp, d = x.shape
+    mlp = w1.shape[1]
+    hd = d // num_heads
+    assert wqkv.shape == (d, 3 * d) and wout.shape == (d, d)
+    assert w1.shape == (d, mlp) and w2.shape == (mlp, d)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    if plan is None:
+        plan = layer_block_plan(b, sp, d, mlp, num_heads, x.dtype.itemsize)
+    if plan is None and interpret:
+        # Interpret mode (tests) has no VMEM constraint and no tuning gate.
+        plan = {"group": 1, "ct": mlp}
+    assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
+    group, ct = plan["group"], plan["ct"]
+
+    kernel = functools.partial(
+        _layer_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, group=group,
+        nc=mlp // ct, ct=ct, precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    whole = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                    # x
+            whole(1, d), whole(1, d),               # ln1
+            whole(d, 3 * d), whole(1, 3 * d),       # wqkv, bqkv
+            whole(d, d), whole(1, d),               # wout, bout
+            whole(1, d), whole(1, d),               # ln2
+            whole(d, mlp), whole(1, mlp),           # w1, b1
+            whole(mlp, d), whole(1, d),             # w2, b2
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * (4 * d + 2 * mlp) + 4 * b * sp * sp * d,
+            bytes_accessed=(2 * b * sp * d + 4 * d * d + 2 * d * mlp)
+            * x.dtype.itemsize,
+            transcendentals=b * sp * (sp + mlp)),
+        interpret=interpret,
+    )(x.reshape(b * sp, d), ln1_scale.reshape(1, d), ln1_bias.reshape(1, d),
+      wqkv, bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d),
+      ln2_scale.reshape(1, d), ln2_bias.reshape(1, d),
+      w1, b1.reshape(1, mlp), w2, b2.reshape(1, d))
+    return out.reshape(b, sp, d)
 
 
 # ----------------------------------------------------------- encoder stack --

@@ -94,3 +94,17 @@ def record(op: str, dtype, dims: tuple[int, ...], value: dict, *,
         json.dump(t, f, indent=1, sort_keys=True)
     os.replace(tmp, _PATH)
     _load_cached.cache_clear()
+
+
+def forget(op: str, dtype, dims: tuple[int, ...]) -> None:
+    """Drop an entry (used by the tune CLI when a re-sweep shows the
+    opt-in kernel losing — for opt-in ops an absent entry IS the routing
+    decision to keep the default path)."""
+    t = dict(table())
+    if t.pop(key(op, dtype, dims), None) is None:
+        return
+    tmp = _PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(t, f, indent=1, sort_keys=True)
+    os.replace(tmp, _PATH)
+    _load_cached.cache_clear()

@@ -511,6 +511,46 @@ def _attn_block_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
 attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
 
 
+def _layer_composed(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1,
+                    w2, b2, num_heads, scale, seq_len, eps, interpret):
+    """Differentiable op-chain equivalent of layer_block (remat backward)."""
+    y = _attn_composed(x, g1, bn1, wqkv, bqkv, wout, bout,
+                       num_heads, scale, seq_len, eps, interpret)
+    return _mlp_composed(y, g2, bn2, w1, b1, w2, b2, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def layer_block(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1, w2, b2,
+                num_heads: int, scale: float | None = None,
+                seq_len: int | None = None, eps: float = 1e-12,
+                interpret: bool = False):
+    """Differentiable full-encoder-layer mega-kernel
+    (vit_tpu/ops/pallas/block.py:layer_block)."""
+    from vit_tpu.ops.pallas.block import layer_block as _k
+    return _k(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1, w2, b2,
+              num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+              interpret=interpret)
+
+
+def _layer_block_fwd(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1,
+                     w2, b2, num_heads, scale, seq_len, eps, interpret):
+    from vit_tpu.ops.pallas.block import layer_block as _k
+    y = _k(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1, w2, b2,
+           num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+           interpret=interpret)
+    return y, (x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1, w2, b2)
+
+
+def _layer_block_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
+    _, vjp_fn = jax.vjp(
+        lambda *a: _layer_composed(*a, num_heads, scale, seq_len, eps,
+                                   interpret), *res)
+    return vjp_fn(g)
+
+
+layer_block.defvjp(_layer_block_fwd, _layer_block_bwd)
+
+
 def _stack_composed(x, enc, num_heads, scale, seq_len, eps, interpret):
     """Differentiable op-chain equivalent of the encoder-stack mega-kernel:
     lax.scan of the composed per-layer blocks (remat backward)."""
