@@ -101,11 +101,27 @@ def patchify(x, patch_size, *, impl=None, interpret=None):
 
 def patch_embed(x, w, bias, patch_size, *, impl=None, interpret=None):
     """Patch-embedding conv as unfold+matmul (reference vit/kernels/conv2d.py
-    equivalent, via the layout its roadmap targets — SURVEY.md §7)."""
+    equivalent, via the layout its roadmap targets — SURVEY.md §7).
+
+    On the compiled pallas tier this op dispatches to the XLA formulation
+    by default: the unfold is a pure layout transform XLA fuses into the
+    projection's operand stream, while a ``pallas_call`` is an opaque
+    boundary the unfold must materialize through — measured on v5e bf16
+    the XLA form wins at every batch (bs=32: 0.122 vs 0.142 ms even with
+    the layout barrier, 0.373 without). A tuned entry (op ``patchembed``,
+    dims (m,), value {"impl": "pallas"}) re-routes per shape if a future
+    sweep measures otherwise; interpret mode always runs the kernel."""
     if resolve_impl(impl) == "xla":
         return reference.patch_embed(x, w, bias, patch_size)
+    interp = interpret_mode(interpret)
+    if not interp:
+        from vit_tpu.ops.pallas import tuning
+        m = x.shape[0] * (x.shape[2] // patch_size) * (x.shape[3] // patch_size)
+        hit = tuning.lookup("patchembed", x.dtype, (m,))
+        if hit is None or hit.get("impl") != "pallas":
+            return reference.patch_embed(x, w, bias, patch_size)
     from vit_tpu.ops.pallas import vjp as _k
-    return _k.patch_embed(x, w, bias, patch_size, interpret_mode(interpret))
+    return _k.patch_embed(x, w, bias, patch_size, interp)
 
 
 def flash_attention(q, k, v, *, scale=None, seq_len=None, impl=None,
