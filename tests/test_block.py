@@ -233,7 +233,10 @@ def test_layer_block_chunked_hidden():
                                atol=5e-4, rtol=0)
 
 
-def test_layer_block_plan_is_opt_in(monkeypatch):
+def test_layer_block_plan_is_opt_in(monkeypatch, tmp_path):
+    from vit_tpu.ops.pallas import tuning
+    monkeypatch.setattr(tuning, "_PATH", str(tmp_path / "tuned.json"))
+    tuning._load_cached.cache_clear()
     # No tuned entry, no env -> None (the model keeps the two-kernel path).
     assert block.layer_block_plan(32, 208, 768, 3072, 12, 2) is None
     # Env force -> a feasible plan.
@@ -242,6 +245,7 @@ def test_layer_block_plan_is_opt_in(monkeypatch):
     assert plan == {"group": 1, "ct": 512}
     # Infeasible geometry stays gated even when forced.
     assert block.layer_block_plan(8, 208, 8192, 32768, 16, 4) is None
+    tuning._load_cached.cache_clear()
 
 
 def test_layer_block_grad_matches_composed():

@@ -58,3 +58,15 @@ def test_pick_blocks_heuristic_vmem_bound():
         assert k % bk == 0
         live = 2 * (bm * bk + bk * bn) * it + bm * bn * (4 + 2 * it)
         assert live < 12 * 2**20, (m, n, k, it, bm, bn, bk, live)
+
+
+def test_forget_drops_entry(tmp_table):
+    tuning.record("layerblock", jnp.bfloat16, (32, 208, 768, 3072, 12),
+                  {"group": 1, "ct": 512})
+    assert tuning.lookup("layerblock", jnp.bfloat16,
+                         (32, 208, 768, 3072, 12)) is not None
+    tuning.forget("layerblock", jnp.bfloat16, (32, 208, 768, 3072, 12))
+    assert tuning.lookup("layerblock", jnp.bfloat16,
+                         (32, 208, 768, 3072, 12)) is None
+    # forgetting a missing key is a no-op
+    tuning.forget("layerblock", jnp.bfloat16, (1, 2, 3))

@@ -22,4 +22,5 @@ run python -m vit_tpu.ops.pallas.patch_embed --dtype "$DTYPE" --bench
 run python -m vit_tpu.ops.pallas.patching   --bench
 run python -m vit_tpu.ops.pallas.attention  --dtype "$DTYPE" --bench
 run python -m vit_tpu.bench.model --dtype "$DTYPE"
+run python -m vit_tpu.bench.serving --dtype "$DTYPE"
 echo "done"

@@ -109,9 +109,19 @@ def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
     if d % 128 or mlp % 128:
         return None
     env = os.environ.get("VIT_TPU_MLP_PLAN")
-    if env:  # "bm,nt,ct" (bm=0 -> whole m) — tune.py's config forcing
+    if env:  # "bm,nt,ct" (bm=0 -> whole m) — tune.py's config forcing.
+        # Still budget-gated: a VMEM-infeasible Mosaic compile can wedge
+        # this platform's compile service for ALL processes.
         bm, nt, ct = map(int, env.split(","))
-        return (bm or round_up(m, 8)), nt, ct
+        bm = bm or round_up(m, 8)
+        mt = mlp // nt
+        w_ = (d * mt + mt * d) * itemsize * (1 if nt == 1 else 2)
+        need = (w_ + 2 * bm * d * itemsize + bm * d * (itemsize + 4)
+                + bm * ct * (4 + itemsize) + (2 * d + 2 * mt + d) * itemsize)
+        # +2MB slack over the default-path budget: forced configs slightly
+        # past it measure fine (22.6MB est = the bs=8 winner); the wedge
+        # line is ~27MB (see tune.sweep_mlpblock).
+        return (bm, nt, ct) if need <= budget + 2 * 2**20 else None
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     exact, wild = tuning.lookup_split("mlpblock", dtype, (m, d, mlp))
