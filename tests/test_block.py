@@ -65,6 +65,36 @@ def test_attn_block_odd_head_slices():
                                atol=2e-4, rtol=0)
 
 
+def test_mlp_block_row_blocked_weight_streaming(monkeypatch):
+    """Grid (nm, nt) with BOTH axes > 1: row blocks each re-stream the
+    weight tiles — the regime for geometries whose resident weights
+    exceed VMEM (H/14's 2*d*mlp = 26 MB bf16)."""
+    rng = np.random.default_rng(8)
+    x, g, be, w1, b1, w2, b2 = _mlp_inputs(rng, b=4, s=32, d=256, mlp=512)
+    monkeypatch.setenv("VIT_TPU_MLP_PLAN", "64,2,256")  # nm=2, nt=2
+    got = ops.mlp_block(x, g, be, w1, b1, w2, b2, impl="pallas")
+    monkeypatch.delenv("VIT_TPU_MLP_PLAN")
+    want = ops.mlp_block(x, g, be, w1, b1, w2, b2, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=0)
+
+
+def test_attn_block_head_dim_80():
+    """H/14's geometry: head_dim 80 — slices are neither lane-aligned nor
+    a lane divisor. Mirrors hidden 1280 / 16 heads at test scale (640/8)."""
+    rng = np.random.default_rng(7)
+    seq_len = 27
+    x, g, be, wqkv, bqkv, wout, bout = _attn_inputs(rng, d=640, heads=8)
+    x = x.at[:, seq_len:].set(0)
+    got = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=8,
+                         seq_len=seq_len, impl="pallas")
+    want = ops.attn_block(x, g, be, wqkv, bqkv, wout, bout, num_heads=8,
+                          seq_len=seq_len, impl="xla")
+    np.testing.assert_allclose(np.asarray(got[:, :seq_len]),
+                               np.asarray(want[:, :seq_len]),
+                               atol=5e-4, rtol=0)
+
+
 def test_plans_gate_infeasible_geometry():
     # Giant weights cannot be VMEM-resident -> no plan -> model falls back.
     assert block.mlp_block_plan(1024, 8192, 32768, 4) is None
@@ -197,6 +227,38 @@ def test_block_model_forward_matches_unfused(dtype):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=tol, rtol=0)
+
+
+def test_one_sided_mega_routing(monkeypatch):
+    """A geometry where only ONE half-block has a feasible plan still fuses
+    that half (H/14 fp32: MLP weights fit streamed, attention's don't).
+    encoder_block must route each half independently."""
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models.vit import encoder_block
+    from vit_tpu.ops.pallas import block as pb
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=256,
+                    num_heads=4, num_layers=1, mlp_dim=512)
+    rng = np.random.default_rng(11)
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc,
+                                          jnp.float32)
+    d, mlp = 256, 512
+    lp = {"ln1": {"scale": arr(d, sc=0.5) + 1, "bias": arr(d)},
+          "qkv": {"kernel": arr(d, 3 * d), "bias": arr(3 * d)},
+          "out": {"kernel": arr(d, d), "bias": arr(d)},
+          "ln2": {"scale": arr(d, sc=0.5) + 1, "bias": arr(d)},
+          "fc1": {"kernel": arr(d, mlp), "bias": arr(mlp)},
+          "fc2": {"kernel": arr(mlp, d), "bias": arr(d)}}
+    x = jnp.asarray(rng.standard_normal((2, 32, d)), jnp.float32)
+    want = encoder_block(x, lp, cfg, impl="xla", attention="unfused",
+                         fused=False)
+
+    for gate in ("attn_block_plan", "mlp_block_plan"):
+        with monkeypatch.context() as mp:
+            mp.setattr(pb, gate, lambda *a, **k: None)
+            got = encoder_block(x, lp, cfg, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=0)
 
 
 def _layer_inputs(rng, b=2, s=32, d=256, heads=4, mlp=512,

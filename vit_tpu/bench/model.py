@@ -68,11 +68,12 @@ def main():
     ap.add_argument("--attention", default="flash",
                     choices=["flash", "unfused"])
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--batches", type=int, nargs="+", default=BATCH_SWEEP)
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rows = sweep(args.variant, dtype, args.impl, args.attention,
-                 reps=args.reps)
+                 batches=args.batches, reps=args.reps)
     name = "model" if args.variant == "B/16" else \
         f"model_{args.variant.replace('/', '_')}"
     out = write_perf_report(name, rows, x_key="batch",

@@ -198,7 +198,8 @@ def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype):
         bm = bm or round_up(m, 8)
         mt = mlp // nt
         w = (d * mt + mt * d) * it * (1 if nt == 1 else 2)
-        return (w + 2 * bm * d * it + bm * d * (it + 4)
+        io = (2 if bm < m else 1) * 2 * bm * d * it  # x+out, dbuf if nm>1
+        return (w + io + bm * d * (it + 4)
                 + bm * ct * (4 + it) + (2 * d + 2 * mt + d) * it)
 
     cands = []
@@ -206,6 +207,21 @@ def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype):
         for nt in (2, 4, 8, 16):
             if mlp % (nt * 128) == 0:
                 cands.append((0, nt, min(mlp // nt, 512)))
+    else:
+        # Row-blocked weight streaming: grid (nm, nt) — each row block
+        # refetches the nt weight tiles (x nm weight traffic) but the
+        # hidden never exists in HBM and the smaller tiles pipeline
+        # DMA/MXU better than one monolithic resident-weight step.
+        # Measured: (1024,4,512) at m=4096 runs 195 TF/s (99% of v5e bf16
+        # peak) vs 148.8 for the best nt=1 plan. Also the only feasible
+        # regime when resident weights exceed VMEM (H/14: 26 MB bf16).
+        bms = {bm for bm in (512, 768, 1024, 1664) if bm < m}
+        bms |= {m // s for s in (2, 4, 8, 13)
+                if m % s == 0 and 512 <= m // s <= 2048 and (m // s) % 8 == 0}
+        for bm in sorted(bms):
+            for nt in (2, 4, 8):
+                if mlp % (nt * 128) == 0:
+                    cands.append((bm, nt, min(mlp // nt, 512)))
     for bm in (128, 256, 512):  # activation-streaming candidates
         if bm <= m:
             cands.append((bm, 1, 1024))

@@ -122,25 +122,30 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layernorm_eps
 
-    if (fused and attention == "flash"
-            and ops.resolve_impl(impl) == "pallas"
-            and ops.block_plans(b, s, d, cfg.mlp_dim, nh, x.dtype.itemsize)):
-        # Mega-kernel path: each half of the block is ONE Pallas kernel with
-        # VMEM-resident weights (vit_tpu/ops/pallas/block.py) — no head
-        # transposes, no LN-stats pass, no HBM round trip for QKV, scores,
-        # context, or the MLP hidden. Identical math to the chain below.
-        # When the tuner recorded a full-layer win, BOTH halves fuse into
-        # one kernel and the inter-half activation never reaches HBM.
-        if ops.layer_plan(b, s, d, cfg.mlp_dim, nh, x.dtype.itemsize):
-            return ops.layer_block(
-                x, lp["ln1"]["scale"], lp["ln1"]["bias"],
-                lp["qkv"]["kernel"], lp["qkv"]["bias"],
-                lp["out"]["kernel"], lp["out"]["bias"],
-                lp["ln2"]["scale"], lp["ln2"]["bias"],
-                lp["fc1"]["kernel"], lp["fc1"]["bias"],
-                lp["fc2"]["kernel"], lp["fc2"]["bias"],
-                num_heads=nh, scale=hd ** -0.5, seq_len=seq_len, eps=eps,
-                impl=impl)
+    # Mega-kernel routing: each half of the block is ONE Pallas kernel with
+    # VMEM-resident weights (vit_tpu/ops/pallas/block.py) — no head
+    # transposes, no LN-stats pass, no HBM round trip for QKV, scores,
+    # context, or the MLP hidden. Identical math to the chain below. The
+    # halves gate INDEPENDENTLY: a geometry whose attention half doesn't
+    # fit (e.g. H/14 fp32's 26 MB weights) still fuses its MLP half, and
+    # vice versa. When the tuner recorded a full-layer win, BOTH halves
+    # fuse into one kernel and the inter-half activation never reaches HBM.
+    mega = (fused and attention == "flash"
+            and ops.resolve_impl(impl) == "pallas")
+    mega_attn = mega and ops.attn_plan(b, s, d, nh, x.dtype.itemsize)
+    mega_mlp = mega and ops.mlp_plan(b, s, d, cfg.mlp_dim, x.dtype.itemsize)
+    if (mega_attn and mega_mlp
+            and ops.layer_plan(b, s, d, cfg.mlp_dim, nh, x.dtype.itemsize)):
+        return ops.layer_block(
+            x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+            lp["qkv"]["kernel"], lp["qkv"]["bias"],
+            lp["out"]["kernel"], lp["out"]["bias"],
+            lp["ln2"]["scale"], lp["ln2"]["bias"],
+            lp["fc1"]["kernel"], lp["fc1"]["bias"],
+            lp["fc2"]["kernel"], lp["fc2"]["bias"],
+            num_heads=nh, scale=hd ** -0.5, seq_len=seq_len, eps=eps,
+            impl=impl)
+    if mega_attn and mega_mlp:
         x = ops.attn_block(
             x, lp["ln1"]["scale"], lp["ln1"]["bias"],
             lp["qkv"]["kernel"], lp["qkv"]["bias"],
@@ -163,6 +168,17 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
                           impl=impl) if ln else inp
         out = ops.matmul(h, p["kernel"], p["bias"], act, impl=impl)
         return ops.add(out, res, impl=impl) if res is not None else out
+
+    if mega_attn:
+        # One-sided: attention half fused, MLP half composed below.
+        x = ops.attn_block(
+            x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+            lp["qkv"]["kernel"], lp["qkv"]["bias"],
+            lp["out"]["kernel"], lp["out"]["bias"],
+            num_heads=nh, scale=hd ** -0.5, seq_len=seq_len, eps=eps,
+            impl=impl)
+        h = lin(x, lp["fc1"], act="gelu", ln=lp["ln2"])
+        return lin(h, lp["fc2"], res=x)
 
     qkv = lin(x, lp["qkv"], ln=lp["ln1"])
     qkv = qkv.reshape(b, s, 3, nh, hd)
@@ -198,6 +214,12 @@ def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
         raise ValueError(f"unknown attention mode {attention!r}")
     # residual 1 (reference vit/vit.py:140), fused into the output projection
     x = lin(ctx, lp["out"], res=x)
+    if mega_mlp:
+        # One-sided: attention half composed above, MLP half fused.
+        return ops.mlp_block(
+            x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+            lp["fc1"]["kernel"], lp["fc1"]["bias"],
+            lp["fc2"]["kernel"], lp["fc2"]["bias"], eps=eps, impl=impl)
     # MLP; residual 2 (reference vit/vit.py:147) fused into fc2
     h = lin(x, lp["fc1"], act="gelu", ln=lp["ln2"])
     return lin(h, lp["fc2"], res=x)

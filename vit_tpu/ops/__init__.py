@@ -139,17 +139,29 @@ def flash_attention(q, k, v, *, scale=None, seq_len=None, impl=None,
     return _k.attention(q, k, v, scale, seq_len, interpret_mode(interpret))
 
 
+def mlp_plan(batch: int, seq_pad: int, hidden: int, mlp: int,
+             itemsize: int):
+    """Whether the MLP half-block mega-kernel has a VMEM-feasible plan."""
+    from vit_tpu.ops.pallas import block as _b
+    return _b.mlp_block_plan(batch * seq_pad, hidden, mlp, itemsize) is not None
+
+
+def attn_plan(batch: int, seq_pad: int, hidden: int, num_heads: int,
+              itemsize: int):
+    """Whether the attention half-block mega-kernel has a feasible plan."""
+    from vit_tpu.ops.pallas import block as _b
+    return _b.attn_block_plan(batch, seq_pad, hidden, num_heads,
+                              itemsize) is not None
+
+
 def block_plans(batch: int, seq_pad: int, hidden: int, mlp: int,
                 num_heads: int, itemsize: int):
     """Whether BOTH transformer-block mega-kernels have a VMEM-feasible plan
-    for this geometry (vit_tpu/ops/pallas/block.py). The model uses this to
-    gate the fused block path; geometries that do not fit fall back to the
-    composed per-op chain."""
-    from vit_tpu.ops.pallas import block as _b
-    return (_b.mlp_block_plan(batch * seq_pad, hidden, mlp, itemsize)
-            is not None
-            and _b.attn_block_plan(batch, seq_pad, hidden, num_heads,
-                                   itemsize) is not None)
+    for this geometry (vit_tpu/ops/pallas/block.py). The model routes each
+    half independently (vit_tpu/models/vit.py:encoder_block); this combined
+    check remains for the tests/serving plan probes."""
+    return (mlp_plan(batch, seq_pad, hidden, mlp, itemsize)
+            and attn_plan(batch, seq_pad, hidden, num_heads, itemsize))
 
 
 def layer_plan(batch: int, seq_pad: int, hidden: int, mlp: int,

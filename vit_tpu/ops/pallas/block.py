@@ -116,7 +116,8 @@ def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
         bm = bm or round_up(m, 8)
         mt = mlp // nt
         w_ = (d * mt + mt * d) * itemsize * (1 if nt == 1 else 2)
-        need = (w_ + 2 * bm * d * itemsize + bm * d * (itemsize + 4)
+        io = (2 if bm < m else 1) * 2 * bm * d * itemsize
+        need = (w_ + io + bm * d * (itemsize + 4)
                 + bm * ct * (4 + itemsize) + (2 * d + 2 * mt + d) * itemsize)
         # +2MB slack over the default-path budget: forced configs slightly
         # past it measure fine (22.6MB est = the bs=8 winner); the wedge
@@ -152,6 +153,22 @@ def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
                 return mp, nt, ct
     if wild is not None:
         return from_hit(wild)
+    if mp > 2048:
+        # Row-blocked weight streaming: grid (nm, nt>1) with bm ~ m/8.
+        # Measured dominant on v5e bf16 (192-195 TF/s vs ~148 for the
+        # resident-weight nt=1 plans at every B/16/B-32 shape >= m=3328);
+        # each row block refetches weight tiles but the smaller tiles
+        # pipeline DMA/MXU better and the hidden never exists in HBM.
+        bms = [m // s for s in (8, 4, 13, 16)
+               if m % s == 0 and 512 <= m // s <= 1024 and (m // s) % 8 == 0]
+        for bm in bms + [512]:
+            for nt in (4, 8, 2):
+                if mlp % (nt * 128):
+                    continue
+                ct = min(mlp // nt, 512)
+                if ((mlp // nt) % ct == 0
+                        and est(bm, nt, ct, cdiv(m, bm)) <= budget):
+                    return bm, nt, ct
     for nt in (1, 2, 4, 8):
         if mlp % (nt * 128):
             continue
@@ -992,8 +1009,11 @@ if __name__ == "__main__":
         max-err 0.29 on outputs of magnitude ~54), so the bar is relative
         to the output scale — same protocol either impl must clear."""
         want = fn(*(a.astype(jnp.float32) for a in xs))
+        # 3e-2 relative for bf16: at D=1280 the composed bf16 XLA chain
+        # itself lands 2.2% from fp32 truth (kernel: 2.1%), so 2e-2 would
+        # flag the oracle. Real logic bugs produce O(1) relative errors.
         atol = (2e-3 if dt == jnp.float32
-                else 2e-2 * float(jnp.abs(want).max()))
+                else 3e-2 * float(jnp.abs(want).max()))
         return want, atol
 
     got = mlp_block(x, g1, be1, w1, b1, w2, b2, interpret=ip)
