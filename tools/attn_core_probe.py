@@ -109,6 +109,31 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                     preferred_element_type=jnp.float32, precision=precision)
                 parts.append(ctx.astype(x_ref.dtype))
             ctx_all = jnp.concatenate(parts, axis=1)
+        elif mode == "vsum":
+            # Row-sums from the MXU for free: context dot against
+            # [V | 1] — the ones column rides the 64->128 lane padding the
+            # head_dim-64 dot pays anyway; the separate VPU row-sum
+            # reduction disappears.
+            parts = []
+            one = jnp.ones((sp, 1), x_ref.dtype)
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision) * scale
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                vaug = jnp.concatenate([v_all[:, hs], one], axis=1)
+                ctx1 = jax.lax.dot_general(
+                    p.astype(x_ref.dtype), vaug, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                ctx, l = ctx1[:, :head_dim], ctx1[:, head_dim:]
+                parts.append((ctx / l).astype(x_ref.dtype))
+            ctx_all = jnp.concatenate(parts, axis=1)
         else:
             parts = []
             for h in range(num_heads):
