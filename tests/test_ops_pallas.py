@@ -183,6 +183,55 @@ def test_patch_embed(rng, dt, h, p, d):
                                atol=_tol(dt, 1e-4, 5e-2))
 
 
+@pytest.mark.parametrize("dt", [F32, BF16])
+@pytest.mark.parametrize("n,k,d,sp", [(196, 768, 768, 208),
+                                      (49, 3072, 768, 208),
+                                      (256, 588, 1280, 272)])
+def test_embed_fused(rng, dt, n, k, d, sp):
+    # One-pass projection + CLS + pos + pad-to-sp vs the composed chain
+    # (reference vit/vit.py:188-200 semantics + the model's sublane pad).
+    patches = _rand(rng, (2, n, k), dt)
+    w = _rand(rng, (k, d), dt, scale=0.05)
+    b = _rand(rng, (d,), dt, scale=0.05)
+    cls = _rand(rng, (d,), dt, scale=0.05)
+    pos = _rand(rng, (n, d), dt, scale=0.05)
+    got = p_pe.embed_fused(patches, w, b, cls, pos, sp, interpret=True)
+    z = (patches.reshape(-1, k).astype(jnp.float32)
+         @ w.astype(jnp.float32) + b.astype(jnp.float32)
+         ).astype(dt).reshape(2, n, d)
+    x = jnp.concatenate([jnp.broadcast_to(cls, (2, 1, d)), z + pos], axis=1)
+    want = jnp.pad(x, ((0, 0), (0, sp - n - 1), (0, 0)))
+    assert got.shape == (2, sp, d)
+    # bf16 tolerance vs the fp32-matmul oracle matches test_patch_embed:
+    # the kernel contracts in native bf16 exactly like the composed pallas
+    # path (bit-identity vs THAT is pinned by the model-level test below).
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=_tol(dt, 1e-4, 5e-2))
+
+
+def test_model_embed_fused_matches_composed(monkeypatch):
+    # The model-level routing: embed(sp=...) on the pallas tier must be
+    # bit-identical to the composed embed + pad.
+    import jax
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models import vit as m
+
+    cfg = ViTConfig(dtype=jnp.bfloat16)
+    params = m.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.standard_normal((2, 3, 224, 224)), jnp.bfloat16)
+    monkeypatch.setenv("VIT_TPU_INTERPRET", "1")
+    fused = m.embed(params, px, cfg, impl="pallas", sp=208)
+    assert fused.shape == (2, 208, cfg.hidden_dim)
+    monkeypatch.setenv("VIT_TPU_EMBED_FUSED", "0")
+    composed = m.embed(params, px, cfg, impl="pallas", sp=208)
+    composed = jnp.pad(composed, ((0, 0), (0, 208 - cfg.seq_len), (0, 0))) \
+        if composed.shape[1] != 208 else composed
+    np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                  np.asarray(composed, np.float32))
+
+
 def test_debug_print_if_smoke(capfd):
     # print_if must at least trace/execute without error in interpret mode.
     import jax

@@ -76,6 +76,10 @@ def main():
                  batches=args.batches, reps=args.reps)
     name = "model" if args.variant == "B/16" else \
         f"model_{args.variant.replace('/', '_')}"
+    if args.dtype != "bfloat16":
+        # Keep the bf16 headline artifact (benchmarks/model/) from being
+        # overwritten by fp32 or other-dtype runs.
+        name = f"{name}_{args.dtype}"
     out = write_perf_report(name, rows, x_key="batch",
                             y_keys=["tpu_ms"], y_label="ms")
     print(f"wrote {out}")

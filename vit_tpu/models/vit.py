@@ -85,20 +85,34 @@ def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
 
 
 def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
-          impl: str | None = None) -> jax.Array:
+          impl: str | None = None, sp: int | None = None) -> jax.Array:
     """Patch-embed + CLS + position embeddings (reference vit/vit.py:173-200).
 
-    ``pixels``: (B, C, H, W) NCHW, any float dtype -> (B, seq_len, D).
+    ``pixels``: (B, C, H, W) NCHW, any float dtype -> (B, seq_len, D) — or
+    (B, sp, D) zero-row-padded when ``sp`` is given and the fused embed
+    kernel is feasible on the pallas tier (the unpadded embedding then
+    never exists in HBM; see ops.embed_fused).
     """
     b, c, h, w = pixels.shape
     assert (c, h, w) == (cfg.num_channels, cfg.image_size, cfg.image_size), (
         pixels.shape, cfg)
     e = params["embeddings"]
-    x = ops.patch_embed(pixels.astype(cfg.dtype), e["patch_embed"]["kernel"],
+    dt = cfg.dtype
+    if (sp is not None and ops.resolve_impl(impl) == "pallas"
+            and ops.embed_fused_ok(b, cfg.num_patches, cfg.patch_dim,
+                                   cfg.hidden_dim, sp, jnp.dtype(dt).itemsize)):
+        patches = ops.patchify(pixels.astype(dt), cfg.patch_size, impl="xla")
+        patches = jax.lax.optimization_barrier(patches)
+        pos = e["position_embeddings"].reshape(cfg.seq_len, cfg.hidden_dim)
+        cls_row = (e["cls_token"].reshape(cfg.hidden_dim).astype(dt)
+                   + pos[0].astype(dt))
+        return ops.embed_fused(patches, e["patch_embed"]["kernel"],
+                               e["patch_embed"]["bias"], cls_row, pos[1:], sp)
+    x = ops.patch_embed(pixels.astype(dt), e["patch_embed"]["kernel"],
                         e["patch_embed"]["bias"], cfg.patch_size, impl=impl)
-    cls = jnp.broadcast_to(e["cls_token"].astype(cfg.dtype), (b, 1, cfg.hidden_dim))
+    cls = jnp.broadcast_to(e["cls_token"].astype(dt), (b, 1, cfg.hidden_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    return x + e["position_embeddings"].astype(cfg.dtype)
+    return x + e["position_embeddings"].astype(dt)
 
 
 def encoder_block(x: jax.Array, lp: Params, cfg: ViTConfig, *,
@@ -246,14 +260,15 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
     - pooled embedding (B, D)            — ``pooling="cls" | "mean"``;
     - logits (B, num_classes)            — ``num_classes > 0``.
     """
-    x = embed(params, pixels, cfg, impl=impl)
     s, sp = cfg.seq_len, _padded_seq(cfg, impl, attention)
-    if sp != s:
+    x = embed(params, pixels, cfg, impl=impl, sp=sp if sp != s else None)
+    if x.shape[1] != sp:
         # Run the WHOLE encoder at a sublane-aligned token count: padded
         # rows are exact zeros here, every encoder op is row-wise (padded
         # attention keys are masked in-kernel), and the pad is sliced off
         # after the final LN. This is what lets every matmul see fully
         # aligned tiles and the flash kernel skip its per-call pad pass.
+        # (The fused embed kernel emits the padded matrix directly.)
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     b = x.shape[0]

@@ -124,6 +124,39 @@ def patch_embed(x, w, bias, patch_size, *, impl=None, interpret=None):
     return _k.patch_embed(x, w, bias, patch_size, interp)
 
 
+def embed_fused(patches, w, bias, cls_row, pos, sp, *, interpret=None):
+    """Patch projection + CLS + pos-add + pad-to-sp in ONE Pallas pass
+    (vit_tpu/ops/pallas/patch_embed.py:embed_fused). Pallas-tier only —
+    callers gate on :func:`embed_fused_ok`; the XLA tier keeps the
+    composed chain (reference vit/vit.py:188-200 semantics)."""
+    from vit_tpu.ops.pallas import patch_embed as _k
+    return _k.embed_fused(patches, w, bias, cls_row, pos, sp,
+                          interpret=interpret_mode(interpret))
+
+
+def embed_fused_ok(b: int, n: int, k: int, d: int, sp: int,
+                   itemsize: int) -> bool:
+    """VMEM-feasibility gate for :func:`embed_fused` (one image's patch
+    rows + the whole projection weight + the assembled (sp, d) block must
+    fit alongside double buffers)."""
+    if d % 128 or sp % 8 or sp < n + 1:
+        return False
+    import os
+    env = os.environ.get("VIT_TPU_EMBED_FUSED")
+    if env == "0":
+        return False
+    if b > 4 and env != "1":
+        # Measured on v5e bf16 B/16: fused wins the latency regime
+        # (bs=1: 0.330 vs 0.350 ms e2e) and is noise-level at bs>=8
+        # (within ±0.1% at 8/32/64) — keep the long-proven composed
+        # chain for throughput batches, take the win where it exists.
+        return False
+    kp = -(-k // 128) * 128
+    need = (kp * d * itemsize + 2 * n * kp * itemsize + n * d * 4
+            + 2 * sp * d * itemsize + 2 * sp * d * itemsize)
+    return need <= 22 * 2 ** 20
+
+
 def flash_attention(q, k, v, *, scale=None, seq_len=None, impl=None,
                     interpret=None):
     """Fused multi-head attention, (B,H,S,d) layout.

@@ -419,7 +419,7 @@ def attn_block_plan(b: int, sp: int, d: int, num_heads: int, itemsize: int,
         + sp * d * 4)                              # ctx fp32
     wstream_ok = wstream_vmem <= budget and b <= 8
 
-    def mstream(group):
+    def mstream(group, slack=0):
         group = min(int(group), b)
         while b % group:
             group -= 1
@@ -428,7 +428,7 @@ def attn_block_plan(b: int, sp: int, d: int, num_heads: int, itemsize: int,
                      + sp * d * (4 + 3 * itemsize)        # fp32 qkv + q/k/v
                      + sp * sp * 4 * 2                    # scores+probs fp32
                      + sp * d * 4)                        # ctx fp32
-        if w + group * per_batch > budget:
+        if w + group * per_batch > budget + slack:
             return {"layout": "wstream"} if wstream_ok else None
         return {"layout": "mstream", "group": group}
 
@@ -438,7 +438,11 @@ def attn_block_plan(b: int, sp: int, d: int, num_heads: int, itemsize: int,
         if hit.get("layout") == "wstream":
             return ({"layout": "wstream"} if wstream_ok
                     else mstream(hit.get("group", 1)))
-        return mstream(hit.get("group", 1))
+        # +2MB slack for EXACT tuned hits, matching mlp_block_plan: the
+        # sweep measured this very config running on this hardware (e.g.
+        # L/16-384's (8,592,1024) mstream,1 estimates 23.4MB and runs
+        # fine), so the conservative estimate alone must not veto it.
+        return mstream(hit.get("group", 1), slack=2 * 2**20)
     if wstream_ok:
         return {"layout": "wstream"}
     if wild is not None and "group" in wild:

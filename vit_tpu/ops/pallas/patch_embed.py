@@ -15,9 +15,15 @@ by construction.
 
 from __future__ import annotations
 
-import jax
+import functools
 
-from vit_tpu.ops.pallas.matmul import matmul
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.pallas.common import pad_dim
+from vit_tpu.ops.pallas.matmul import _dot_precision, matmul
 from vit_tpu.ops.reference import patchify as _patchify_xla
 
 
@@ -36,6 +42,77 @@ def patch_embed(x: jax.Array, w: jax.Array, bias: jax.Array | None,
         # v5e); the barrier pins a clean materialization point.
         patches = jax.lax.optimization_barrier(patches)
     return matmul(patches, w, bias, interpret=interpret)
+
+
+def _embed_kernel(p_ref, w_ref, b_ref, base_ref, o_ref, *, n, sp,
+                  precision):
+    # p_ref: (1, n, kp) one image's patch rows; w_ref: (kp, d);
+    # b_ref: (1, d) conv bias; base_ref: (sp, d) precomputed
+    # [cls+pos0; pos[1:n+1]; 0] rows; o_ref: (1, sp, d).
+    dt = o_ref.dtype
+    d = w_ref.shape[1]
+    z = jax.lax.dot_general(
+        p_ref[0], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    # Match the composed path's rounding: fp32 matmul+bias, cast to model
+    # dtype, THEN add position embeddings in model dtype (the XLA path's
+    # `x + pos` is a bf16 add after the matmul's cast).
+    z = (z + b_ref[:].astype(jnp.float32)).astype(dt)
+    zp = jnp.concatenate(
+        [jnp.zeros((1, d), dt), z, jnp.zeros((sp - 1 - n, d), dt)], axis=0)
+    o_ref[0] = zp + base_ref[:]
+
+
+def embed_fused(patches: jax.Array, w: jax.Array, bias: jax.Array,
+                cls_row: jax.Array, pos: jax.Array, sp: int, *,
+                interpret: bool = False) -> jax.Array:
+    """Patch projection + CLS row + position add + pad-to-``sp``, fused.
+
+    One Pallas pass replaces the reference's conv2d -> flatten/transpose ->
+    cls cat -> pos broadcast-add chain (reference vit/vit.py:188-200) AND
+    the model's sublane pad: the kernel computes the (N, D) projection on
+    the MXU and assembles the padded (sp, D) token matrix in VMEM, so the
+    unpadded embedding never exists in HBM.
+
+    ``patches``: (B, N, K) unfolded images; ``w``: (K, D); ``bias``: (D,);
+    ``cls_row``: (D,) already including pos[0]; ``pos``: (N, D) position
+    rows for the patch tokens (HF pos[1:N+1]). Returns (B, sp, D) with
+    rows N+1.. zero.
+    """
+    b, n, k = patches.shape
+    d = w.shape[1]
+    assert sp >= n + 1 and d % 128 == 0, (sp, n, d)
+    patches, _ = pad_dim(patches, 2, 128)
+    wp, _ = pad_dim(w, 0, 128)
+    kp = patches.shape[2]
+    dt = patches.dtype
+
+    base = jnp.concatenate(
+        [cls_row.reshape(1, d).astype(dt), pos.astype(dt),
+         jnp.zeros((sp - 1 - n, d), dt)], axis=0)
+
+    kernel = functools.partial(_embed_kernel, n=n, sp=sp,
+                               precision=_dot_precision(dt))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(patches, wp, bias.reshape(1, d).astype(dt), base)
+    return out
 
 
 if __name__ == "__main__":
