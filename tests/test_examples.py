@@ -26,3 +26,16 @@ def test_classify_example_offline(tmp_path, capsys, monkeypatch):
     probs = [float(line.split()[0]) for line in out]
     assert all(0.0 <= p <= 1.0 for p in probs)
     assert probs == sorted(probs, reverse=True)
+
+
+def test_train_tiny_example_converges(capsys, monkeypatch):
+    # The training tier actually learns: loss drops ~2 orders of magnitude
+    # and the tiny ViT fits the synthetic training set.
+    monkeypatch.setattr(sys, "argv", [
+        "train_tiny.py", "--steps", "40", "--log-every", "40"])
+    mod = runpy.run_path("examples/train_tiny.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "train accuracy" in out
+    final = out.strip().splitlines()[-1]
+    acc = float(final.split("accuracy")[1].strip().rstrip("%")) / 100
+    assert acc >= 0.95, final
