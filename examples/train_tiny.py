@@ -63,6 +63,8 @@ def main(argv=None) -> float:
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="resume from PATH if present; save there at the end")
     args = p.parse_args(argv)
 
     from vit_tpu.config import ViTConfig
@@ -80,9 +82,17 @@ def main(argv=None) -> float:
         impl=args.impl)
     opt_state = init_fn(params)
 
-    rng = np.random.default_rng(args.seed)
+    start = 0
+    if args.checkpoint and os.path.exists(args.checkpoint + ".orbax"):
+        from vit_tpu.weights.checkpoint import restore_train_state
+
+        params, opt_state, start = restore_train_state(
+            args.checkpoint, (params, opt_state))
+        print(f"resumed from {args.checkpoint} at step {start}", flush=True)
+
+    rng = np.random.default_rng(args.seed + start)
     first_loss = None
-    for step in range(1, args.steps + 1):
+    for step in range(start + 1, start + args.steps + 1):
         idx = rng.choice(args.n, size=args.batch, replace=False)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(pixels[idx]),
@@ -92,6 +102,14 @@ def main(argv=None) -> float:
             first_loss = loss
         if step % args.log_every == 0 or step == 1:
             print(f"step {step:4d}  loss {loss:.4f}", flush=True)
+
+    if args.checkpoint:
+        from vit_tpu.weights.checkpoint import save_train_state
+
+        save_train_state(args.checkpoint, params, opt_state,
+                         start + args.steps)
+        print(f"saved {args.checkpoint} at step {start + args.steps}",
+              flush=True)
 
     logits = jax.jit(lambda p, x: forward(p, x, cfg, impl=args.impl))(
         params, jnp.asarray(pixels))

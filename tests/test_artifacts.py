@@ -26,3 +26,23 @@ def test_selftest_passes_and_fails(capsys):
     with pytest.raises(AssertionError):
         selftest("bad", [1.0, 2.0], [1.0, 3.0], atol=1e-6)
     assert "FAILED" in capsys.readouterr().out
+
+
+def test_published_csvs_are_sane():
+    # Round-1 lesson: a noise-dominated timing harness published negative
+    # times (-97 TFLOP/s) — every committed artifact must stay positive.
+    import glob
+
+    paths = glob.glob("benchmarks/**/*.csv", recursive=True)
+    assert paths, "published benchmark artifacts missing"
+    for p in paths:
+        with open(p) as f:
+            rows = list(csv.DictReader(f))
+        assert rows, p
+        for row in rows:
+            for k, v in row.items():
+                try:
+                    x = float(v)
+                except (TypeError, ValueError):
+                    continue
+                assert x >= 0, (p, k, v)

@@ -1,6 +1,7 @@
 """Checkpoint save/load + safetensors import (SURVEY.md §5 aux subsystem)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -97,3 +98,50 @@ def test_sharded_orbax_roundtrip(tmp_path):
     _tree_equal(params, loaded2)
     leaf = loaded2["encoder"]["qkv"]["kernel"]
     assert not leaf.sharding.is_fully_replicated
+
+
+def test_train_state_resume_is_deterministic(tmp_path):
+    # Save at step 5, restore into fresh objects, continue 5 more steps —
+    # bit-identical to an uninterrupted 10-step run on the same data.
+    from vit_tpu.train import make_optimizer, make_train_step
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=48, num_heads=4,
+                    num_layers=2, mlp_dim=96, num_classes=4)
+    rng = np.random.default_rng(0)
+    pixels = [np.asarray(rng.standard_normal((4, 3, 32, 32)), np.float32)
+              for _ in range(10)]
+    labels = [np.asarray(rng.integers(0, 4, (4,)), np.int32)
+              for _ in range(10)]
+
+    def run(start_params, start_opt, lo, hi, losses):
+        init_fn, step_fn = make_train_step(cfg, make_optimizer(1e-3))
+        params, opt_state = start_params, start_opt
+        if opt_state is None:
+            opt_state = init_fn(params)
+        for i in range(lo, hi):
+            params, opt_state, loss = step_fn(params, opt_state,
+                                              pixels[i], labels[i])
+            losses.append(float(loss))
+        return params, opt_state
+
+    base = vit.init_params(jax.random.key(0), cfg)
+
+    fresh = lambda: jax.tree.map(jnp.copy, base)  # step_fn donates its inputs
+
+    ref_losses: list[float] = []
+    ref_params, _ = run(fresh(), None, 0, 10, ref_losses)
+
+    losses: list[float] = []
+    params, opt_state = run(fresh(), None, 0, 5, losses)
+    ckpt.save_train_state(str(tmp_path / "state"), params, opt_state, 5)
+
+    like_params = vit.init_params(jax.random.key(1), cfg)
+    init_fn, _ = make_train_step(cfg, make_optimizer(1e-3))
+    like = (like_params, init_fn(like_params))
+    params, opt_state, step = ckpt.restore_train_state(
+        str(tmp_path / "state"), like)
+    assert step == 5
+    params, _ = run(params, opt_state, 5, 10, losses)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=0, atol=0)
+    _tree_equal(params, ref_params)

@@ -91,3 +91,34 @@ def test_graft_entry_single_chip():
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_train_state_checkpoint_on_mesh(tmp_path):
+    # Save a SHARDED training state (params on DP2xTP4, opt state inheriting
+    # the shardings), restore straight back onto the mesh, resume one step —
+    # identical to the uninterrupted run.
+    from vit_tpu.weights.checkpoint import (restore_train_state,
+                                            save_train_state)
+
+    mesh = make_mesh(data=2, model=4)
+    params, px, labels = _setup(mesh, batch=4)
+    init_fn, step_fn = make_train_step(TINY)
+    opt_state = init_fn(params)
+
+    keep = jax.tree.map(jnp.copy, (params, opt_state))  # step donates
+    params, opt_state, _ = step_fn(params, opt_state, px, labels)
+    save_train_state(str(tmp_path / "st"), params, opt_state, 1)
+    ref_params, ref_opt, ref_loss = step_fn(params, opt_state, px, labels)
+
+    # Fresh target structure with the same shardings.
+    like_params = jax.device_put(vit.init_params(jax.random.key(1), TINY),
+                                 param_shardings(keep[0], mesh, TINY))
+    like = (like_params, init_fn(like_params))
+    params2, opt2, step = restore_train_state(str(tmp_path / "st"), like)
+    assert step == 1
+    leaf = params2["encoder"]["qkv"]["kernel"]
+    assert not leaf.sharding.is_fully_replicated  # restored already-placed
+    params2, opt2, loss2 = step_fn(params2, opt2, px, labels)
+    assert float(loss2) == float(ref_loss)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

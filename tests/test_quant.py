@@ -1,0 +1,96 @@
+"""Int8 quantized inference tier (vit_tpu/quant.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu import quant
+from vit_tpu.config import ViTConfig
+from vit_tpu.models import vit
+from vit_tpu.models.vit import forward
+
+SMALL = ViTConfig(image_size=32, patch_size=16, hidden_dim=64, num_heads=4,
+                  num_layers=2, mlp_dim=128)
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = jnp.asarray(rng.standard_normal((3, 96, 64)), jnp.float32)
+    qw = quant.quantize_weight(w)
+    assert qw["q"].dtype == jnp.int8 and qw["q"].shape == w.shape
+    assert qw["scale"].shape == (3, 64)
+    deq = qw["q"].astype(jnp.float32) * qw["scale"][:, None, :]
+    # max error bounded by half a quantization step per channel
+    err = jnp.max(jnp.abs(deq - w), axis=-2)
+    assert float(jnp.max(err / qw["scale"])) <= 0.5 + 1e-3
+
+
+def test_int8_matmul_close_to_float(rng):
+    x = jnp.asarray(rng.standard_normal((4, 24, 96)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    got = quant.int8_matmul(x, quant.quantize_weight(w), b)
+    want = x @ w + b
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 2e-2, rel
+
+
+def test_int8_matmul_zero_rows_stay_zero(rng):
+    # Padded sequence rows are exact zeros — they must not NaN via the
+    # dynamic activation scale.
+    x = jnp.zeros((2, 8, 96), jnp.float32)
+    w = quant.quantize_weight(jnp.asarray(rng.standard_normal((96, 64)),
+                                          jnp.float32))
+    out = quant.int8_matmul(x, w)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_forward_quant_matches_float(rng):
+    params = vit.init_params(jax.random.key(0), SMALL)
+    qparams = quant.quantize_params(params)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    got = np.asarray(jax.jit(quant.make_forward_quant(SMALL, jit=False))(
+        qparams, px), np.float32)
+    want = np.asarray(forward(params, px, SMALL, impl="xla",
+                              attention="unfused"), np.float32)
+    assert got.shape == want.shape == (2, SMALL.seq_len, 64)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-2, rel
+
+
+def test_forward_quant_logits_correlate(rng):
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=64, num_heads=4,
+                    num_layers=2, mlp_dim=128, num_classes=16)
+    params = vit.init_params(jax.random.key(1), cfg)
+    qparams = quant.quantize_params(params)
+    px = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32)
+    got = np.asarray(quant.forward_quant(qparams, px, cfg), np.float64)
+    want = np.asarray(forward(params, px, cfg, impl="xla",
+                              attention="unfused"), np.float64)
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+@pytest.mark.slow
+def test_forward_quant_golden_b16(tmp_path):
+    # Full-scale accuracy pin: synthetic-golden ViT-B/16 weights through the
+    # real import path, int8 forward vs float forward.
+    from safetensors.numpy import save_file
+
+    from vit_tpu.weights.checkpoint import params_from_safetensors
+    from vit_tpu.weights.synthetic import golden_pixels, synthetic_hf_state_dict
+
+    cfg = ViTConfig()
+    sd = synthetic_hf_state_dict(cfg, seed=7)
+    st = tmp_path / "b16.safetensors"
+    save_file(sd, str(st))
+    params = params_from_safetensors(str(st), cfg)
+    px = jnp.asarray(golden_pixels(cfg, seed=3))
+
+    want = np.asarray(forward(params, px, cfg, impl="xla"), np.float64)
+    got = np.asarray(quant.forward_quant(quant.quantize_params(params), px,
+                                         cfg), np.float64)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert rel < 5e-2, rel
+    assert corr > 0.999, corr

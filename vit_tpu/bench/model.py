@@ -36,9 +36,12 @@ BATCH_SWEEP = [1, 2, 4, 8, 16, 24, 32, 48, 64]
 
 def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
           impl: str | None = None, attention: str = "flash",
-          batches=BATCH_SWEEP, reps: int = 5):
+          batches=BATCH_SWEEP, reps: int = 5, quant: bool = False):
     cfg = VARIANTS[variant].replace(dtype=dtype)
     params = init_params(jax.random.key(0), cfg)
+    if quant:
+        from vit_tpu.quant import forward_quant, quantize_params
+        params = quantize_params(params)
     rng = np.random.default_rng(0)
     rows = []
     for b in batches:
@@ -47,7 +50,8 @@ def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
 
         def step(c, params, px):
             x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
-            out = forward(params, x, cfg, impl=impl, attention=attention)
+            out = (forward_quant(params, x, cfg) if quant else
+                   forward(params, x, cfg, impl=impl, attention=attention))
             return jnp.mean(out).astype(jnp.float32)
 
         ms = bench_chained(step, reps=reps, args=(params, px))
@@ -69,17 +73,21 @@ def main():
                     choices=["flash", "unfused"])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batches", type=int, nargs="+", default=BATCH_SWEEP)
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 quantized tier (vit_tpu.quant)")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rows = sweep(args.variant, dtype, args.impl, args.attention,
-                 batches=args.batches, reps=args.reps)
+                 batches=args.batches, reps=args.reps, quant=args.quant)
     name = "model" if args.variant == "B/16" else \
         f"model_{args.variant.replace('/', '_')}"
     if args.dtype != "bfloat16":
         # Keep the bf16 headline artifact (benchmarks/model/) from being
         # overwritten by fp32 or other-dtype runs.
         name = f"{name}_{args.dtype}"
+    if args.quant:
+        name = f"{name}_int8"
     out = write_perf_report(name, rows, x_key="batch",
                             y_keys=["tpu_ms"], y_label="ms")
     print(f"wrote {out}")

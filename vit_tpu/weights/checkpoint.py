@@ -111,6 +111,54 @@ def save_sharded(path: str, params: Params, cfg: ViTConfig) -> None:
         json.dump(meta, f, indent=1)
 
 
+def save_train_state(path: str, params: Params, opt_state, step: int) -> None:
+    """Orbax checkpoint of a full training state (params + optimizer state +
+    step counter) — the resume side of the training tier. The reference is
+    inference-only with no save path at all (SURVEY.md §5 checkpoint row);
+    this is the TPU-native equivalent done properly: one composite pytree,
+    per-device shard writes, restores onto any mesh via ``like`` shardings."""
+    import orbax.checkpoint as ocp
+
+    state = {"params": params, "opt_state": opt_state,
+             "step": jnp.asarray(step, jnp.int32)}
+    with ocp.StandardCheckpointer() as ckptr:
+        # force: a training checkpoint is a rolling save — overwrite.
+        ckptr.save(os.path.abspath(path) + ".orbax", state, force=True)
+
+
+def restore_train_state(path: str, like):
+    """Restore ``(params, opt_state, step)`` saved by :func:`save_train_state`.
+
+    ``like = (params, opt_state)`` supplies the target structure: shapes,
+    dtypes, and — when the arrays are sharded — placements, so each device
+    reads only its own shards."""
+    import orbax.checkpoint as ocp
+
+    state_like = {"params": like[0], "opt_state": like[1],
+                  "step": jnp.zeros((), jnp.int32)}
+    # Committed-ness subtlety: jit outputs (e.g. optax init state) carry an
+    # UNCOMMITTED SingleDeviceSharding that mixes freely with mesh-sharded
+    # params inside jit — but a restored array is always committed, and a
+    # committed single-device scalar conflicts with the mesh. Restore such
+    # leaves replicated over the like tree's mesh (no-op without a mesh).
+    from jax.sharding import NamedSharding, PartitionSpec
+    meshes = {l.sharding.mesh for l in jax.tree.leaves(state_like)
+              if isinstance(getattr(l, "sharding", None), NamedSharding)}
+    mesh = meshes.pop() if len(meshes) == 1 else None
+
+    def _target(a):
+        s = getattr(a, "sharding", None)
+        if mesh is not None and not isinstance(s, NamedSharding):
+            s = NamedSharding(mesh, PartitionSpec())
+        return jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a),
+                                    sharding=s)
+
+    target = jax.tree.map(_target, state_like)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(path) + ".orbax", target)
+    return state["params"], state["opt_state"], int(state["step"])
+
+
 def load_sharded(path: str, shardings: Params | None = None
                  ) -> tuple[Params, ViTConfig]:
     """Restore an orbax checkpoint; with a ``shardings`` pytree (matching
