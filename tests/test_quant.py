@@ -94,3 +94,22 @@ def test_forward_quant_golden_b16(tmp_path):
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert rel < 5e-2, rel
     assert corr > 0.999, corr
+
+
+def test_quant_predictor_single_and_mesh(rng):
+    from vit_tpu.parallel import make_mesh
+    from vit_tpu.serving import Predictor
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=64, num_heads=4,
+                    num_layers=2, mlp_dim=128, num_classes=8)
+    params = vit.init_params(jax.random.key(0), cfg)
+    imgs = np.asarray(rng.standard_normal((5, 3, 32, 32)), np.float32)
+
+    single = Predictor(params, cfg, buckets=(2, 4), quant=True)
+    out = np.asarray(single(imgs), np.float32)
+    assert out.shape == (5, 8) and np.isfinite(out).all()
+
+    mesh = make_mesh(data=8, model=1)
+    dp = Predictor(params, cfg, buckets=(8,), mesh=mesh, quant=True)
+    out_dp = np.asarray(dp(imgs), np.float32)
+    np.testing.assert_allclose(out_dp, out, rtol=0, atol=1e-5)

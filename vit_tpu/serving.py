@@ -52,13 +52,25 @@ class Predictor:
     def __init__(self, params: Params, cfg: ViTConfig,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, *,
                  impl: str | None = None, attention: str = "flash",
-                 precompile: bool = False, mesh: Mesh | None = None):
+                 precompile: bool = False, mesh: Mesh | None = None,
+                 quant: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         assert buckets and all(b > 0 for b in buckets)
 
-        def fwd(p, x):
-            return forward(p, x, cfg, impl=impl, attention=attention)
+        if quant:
+            # Int8 tier (vit_tpu/quant.py): quantize once at construction,
+            # serve the quantized pytree. Multi-chip fan-out is batch-DP
+            # with replicated params (int8 weights are TP-splittable in
+            # principle, but param_shardings' specs describe float kernels).
+            from vit_tpu.quant import forward_quant, quantize_params
+            params = quantize_params(params)
+
+            def fwd(p, x):
+                return forward_quant(p, x, cfg)
+        else:
+            def fwd(p, x):
+                return forward(p, x, cfg, impl=impl, attention=attention)
 
         if mesh is None:
             self.buckets = tuple(sorted(set(buckets)))
@@ -66,14 +78,20 @@ class Predictor:
             self._in_sharding = None
             self._fn = jax.jit(fwd)
         else:
-            from vit_tpu.parallel import batch_sharding, param_shardings
+            from vit_tpu.parallel import (batch_sharding, param_shardings,
+                                          replicate)
             data = mesh.shape["data"]
             self.buckets = tuple(sorted({-(-b // data) * data
                                          for b in buckets}))
-            self.params = jax.device_put(params,
-                                         param_shardings(params, mesh, cfg))
+            if quant:
+                assert mesh.shape["model"] == 1, (
+                    "quant serving shards the batch only")
+                self.params = jax.device_put(params, replicate(mesh))
+            else:
+                self.params = jax.device_put(
+                    params, param_shardings(params, mesh, cfg))
             self._in_sharding = batch_sharding(mesh)
-            if resolve_impl(impl) == "pallas":
+            if not quant and resolve_impl(impl) == "pallas":
                 # Pallas kernels have no GSPMD partitioning rules — shard the
                 # batch explicitly so each chip runs the single-device
                 # program on its shard (no collectives needed for inference).
