@@ -113,3 +113,47 @@ def test_quant_predictor_single_and_mesh(rng):
     dp = Predictor(params, cfg, buckets=(8,), mesh=mesh, quant=True)
     out_dp = np.asarray(dp(imgs), np.float32)
     np.testing.assert_allclose(out_dp, out, rtol=0, atol=1e-5)
+
+
+def test_mlp_block_q_interpret_matches_dequant(rng):
+    # The int8 weight-streaming kernel == the float MLP chain run on
+    # DEQUANTIZED weights (same math, scales applied after the dots).
+    from vit_tpu.ops import reference as ref
+    from vit_tpu.ops.pallas.block import mlp_block_plan, mlp_block_q
+
+    d, mlp, m = 128, 256, 16
+    x = jnp.asarray(rng.standard_normal((1, m, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    be = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    w1 = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((d, mlp)), jnp.float32))
+    b1 = jnp.asarray(rng.standard_normal((mlp,)), jnp.float32)
+    w2 = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((mlp, d)), jnp.float32))
+    b2 = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+
+    assert mlp_block_plan(m, d, mlp, 4) is not None
+    got = mlp_block_q(x, g, be, w1["q"], w1["scale"], b1,
+                      w2["q"], w2["scale"], b2, interpret=True)
+
+    xn = ref.layernorm(x, g, be)
+    w1d = w1["q"].astype(jnp.float32) * w1["scale"]
+    w2d = w2["q"].astype(jnp.float32) * w2["scale"]
+    want = x + ref.gelu(xn @ w1d + b1) @ w2d + b2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_forward_quant_pallas_impl_matches_xla_mlp_dequant(rng):
+    # impl='pallas' (weight-only int8 MLP kernel, interpret mode) stays
+    # close to the xla tier (which also int8-quantizes MLP activations) —
+    # both approximate the same float model.
+    params = vit.init_params(jax.random.key(0), SMALL)
+    qparams = quant.quantize_params(params)
+    px = jnp.asarray(rng.standard_normal((1, 3, 32, 32)), jnp.float32)
+    a = np.asarray(quant.forward_quant(qparams, px, SMALL, impl="xla"),
+                   np.float64)
+    b = np.asarray(quant.forward_quant(qparams, px, SMALL, impl="pallas"),
+                   np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-2, rel

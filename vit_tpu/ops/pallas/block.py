@@ -242,6 +242,124 @@ def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     return out.reshape(*lead, d)
 
 
+# ------------------------------------------- int8 mlp block (weight-only) --
+
+def _mlp_q_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                  s2_ref, b2_ref, o_ref, xn_ref, acc_ref, *, eps: float,
+                  d: int, nt: int, nc: int, ct: int, precision):
+    """:func:`_mlp_kernel` with int8 weight tiles (vit_tpu/quant.py layout).
+
+    Weight-only quantization: the streamed fc1/fc2 tiles arrive as int8 —
+    half (bf16) / a quarter (fp32) of the HBM weight traffic that bounds
+    the small-batch latency regime (docs/PERF.md §3) — and are cast to the
+    compute dtype on-core (int8 -> bf16 is exact for |q| <= 127); the
+    per-output-channel fp32 scales are applied after each dot, so the
+    math is identical to dequantized-weight matmuls. Activations stay in
+    the float compute dtype (the XLA tier's dynamic activation int8 trades
+    more accuracy for MXU rate; this kernel targets the DMA-bound regime
+    where compute is not the bottleneck).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * g_ref[:].astype(jnp.float32)
+              + b_ref[:].astype(jnp.float32))
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        acc_ref[:] = x32 + b2_ref[:].astype(jnp.float32)
+
+    xn = xn_ref[:]
+    for c in range(nc):
+        sl = slice(c * ct, (c + 1) * ct)
+        h = jax.lax.dot_general(
+            xn, w1_ref[:, sl].astype(xn.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        h = h * s1_ref[:, sl]
+        h = gelu(h + b1_ref[:, sl].astype(jnp.float32)).astype(xn.dtype)
+        y = jax.lax.dot_general(
+            h, w2_ref[sl, :].astype(xn.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_ref[:] += y * s2_ref[:]
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                w1q: jax.Array, s1: jax.Array, b1: jax.Array,
+                w2q: jax.Array, s2: jax.Array, b2: jax.Array,
+                *, eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+    """Int8-weight ``x + fc2(gelu(fc1(LN(x))))`` in one Pallas pass.
+
+    ``w1q`` (D, mlp) / ``w2q`` (mlp, D) int8 with fp32 per-output-channel
+    scales ``s1`` (mlp,) / ``s2`` (D,) from
+    :func:`vit_tpu.quant.quantize_weight`. Plan-gated like
+    :func:`mlp_block` (the float plan over-estimates the int8 weight
+    VMEM, so any plan it returns is safe here).
+    """
+    *lead, d = x.shape
+    mlp = w1q.shape[1]
+    assert w1q.dtype == jnp.int8 and w2q.dtype == jnp.int8
+    assert w1q.shape == (d, mlp) and w2q.shape == (mlp, d)
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    assert plan is not None, (m, d, mlp, x.dtype)
+    bm, nt, ct = plan
+    mt = mlp // nt
+    nc = mt // ct
+
+    kernel = functools.partial(_mlp_q_kernel, eps=eps, d=d, nt=nt, nc=nc,
+                               ct=ct, precision=_dot_precision(x.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm), nt),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),          # x
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln scale
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln bias
+            pl.BlockSpec((d, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # w1 int8
+            pl.BlockSpec((1, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # s1
+            pl.BlockSpec((1, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # b1
+            pl.BlockSpec((mt, d), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),          # w2 int8
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # s2
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # b2
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, d), x.dtype),      # xn cache
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * mlp,
+            bytes_accessed=2 * m * d * x.dtype.itemsize + 2 * d * mlp,
+            transcendentals=m * mlp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+      w1q, s1.reshape(1, mlp), b1.reshape(1, mlp),
+      w2q, s2.reshape(1, d), b2.reshape(1, d))
+    return out.reshape(*lead, d)
+
+
 # -------------------------------------------------------- attention block --
 
 def _ln32(x32, g_ref, b_ref, eps):

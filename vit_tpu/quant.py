@@ -96,7 +96,8 @@ def int8_matmul(x: jax.Array, wq: QParams, bias: jax.Array | None = None,
     return y.astype(x.dtype)
 
 
-def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig) -> jax.Array:
+def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
+                 impl: str | None = None) -> jax.Array:
     """One pre-LN block with int8 projections (float attention core)."""
     b, s, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -112,24 +113,41 @@ def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig) -> jax.Array:
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + int8_matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"])
 
+    from vit_tpu.ops import resolve_impl
+    if resolve_impl(impl) == "pallas":
+        from vit_tpu.ops.dispatch import interpret_mode
+        from vit_tpu.ops.pallas.block import mlp_block_plan, mlp_block_q
+        if mlp_block_plan(b * s, d, cfg.mlp_dim, x.dtype.itemsize):
+            # Kernel tier: int8 weight STREAMING — half/quarter the fc1+fc2
+            # HBM traffic, hidden never in HBM, weight-only numerics
+            # (activations stay float, slightly MORE accurate than the XLA
+            # tier's dynamic activation int8).
+            k1, k2 = lp["fc1"]["kernel"], lp["fc2"]["kernel"]
+            return mlp_block_q(
+                x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                k1["q"], k1["scale"], lp["fc1"]["bias"],
+                k2["q"], k2["scale"], lp["fc2"]["bias"],
+                eps=eps, interpret=interpret_mode(None))
+
     xn = ref.layernorm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=eps)
     h = int8_matmul(xn, lp["fc1"]["kernel"], lp["fc1"]["bias"],
                     activation="gelu")
     return x + int8_matmul(h, lp["fc2"]["kernel"], lp["fc2"]["bias"])
 
 
-def forward_quant(qparams: Params, pixels: jax.Array,
-                  cfg: ViTConfig) -> jax.Array:
+def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
+                  *, impl: str | None = "xla") -> jax.Array:
     """ViT forward on int8-quantized encoder weights.
 
     Same contract as :func:`vit_tpu.models.vit.forward` (hidden states,
     pooled embedding, or logits per ``cfg``); ``qparams`` comes from
-    :func:`quantize_params`.
+    :func:`quantize_params`. ``impl="pallas"`` routes the MLP half through
+    the int8 weight-streaming mega-kernel (:func:`mlp_block_q`).
     """
     x = embed(qparams, pixels, cfg, impl="xla")
 
     def body(x, lp):
-        return _block_quant(x, lp, cfg), None
+        return _block_quant(x, lp, cfg, impl), None
 
     x, _ = jax.lax.scan(body, x, qparams["encoder"])
     x = ref.layernorm(x, qparams["ln_final"]["scale"],
@@ -146,7 +164,8 @@ def forward_quant(qparams: Params, pixels: jax.Array,
     return x
 
 
-def make_forward_quant(cfg: ViTConfig, *, jit: bool = True):
+def make_forward_quant(cfg: ViTConfig, *, impl: str | None = "xla",
+                       jit: bool = True):
     """Bind config (and optionally jit) — mirror of ``make_forward``."""
-    fn = functools.partial(forward_quant, cfg=cfg)
+    fn = functools.partial(forward_quant, cfg=cfg, impl=impl)
     return jax.jit(fn) if jit else fn
