@@ -1091,6 +1091,217 @@ def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
     return out.reshape(b, sp, d)
 
 
+# ----------------------------------------- int8 encoder stack (weight-only) --
+
+def _encoder_stack_q_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, sqkv_ref,
+                            bqkv_ref, wout_ref, sout_ref, bout_ref, g2_ref,
+                            bn2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                            b2_ref, o_ref, xcur_ref, qkv_ref, acc_ref, *,
+                            eps: float, d: int, sp: int, num_heads: int,
+                            head_dim: int, scale: float, seq_len: int,
+                            b: int, nq: int, cq: int, nt: int,
+                            num_layers: int, precision):
+    """:func:`_encoder_stack_kernel` with int8 weight tiles (weight-only
+    quantization, vit_tpu/quant.py layout): every streamed weight arrives
+    as int8 — HALF the bf16 weight traffic that sets the small-batch
+    latency floor (docs/PERF.md §3) — is cast to the compute dtype
+    on-core, and its fp32 per-output-channel scale is applied after the
+    dot. Activations stay float; schedule and residency identical to the
+    float kernel."""
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    f32 = jnp.float32
+
+    def ln(rows, g_ref, b_ref):
+        x32 = xcur_ref[rows, :].astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        return ((xn * g_ref[0].astype(f32) + b_ref[0].astype(f32))
+                .astype(xcur_ref.dtype))
+
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        xcur_ref[:] = x_ref[:]
+
+    for j in range(nq):
+        @pl.when(t == j)
+        def _(j=j):
+            start = j * cq
+            xn = ln(slice(None), g1_ref, bn1_ref)
+            z = jax.lax.dot_general(
+                xn, wqkv_ref[0].astype(xn.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            z = z * sqkv_ref[0, 0] + bqkv_ref[0, 0].astype(f32)
+            z = z.astype(qkv_ref.dtype)
+            for p in range(3):
+                lo = max(start, p * d)
+                hi = min(start + cq, (p + 1) * d)
+                if lo < hi:
+                    qkv_ref[p, :, lo - p * d:hi - p * d] = (
+                        z[:, lo - start:hi - start])
+
+    for g in range(b):
+        @pl.when(t == nq + g)
+        def _(g=g):
+            rows = slice(g * sp, (g + 1) * sp)
+            q_all = qkv_ref[0, rows, :]
+            k_all = qkv_ref[1, rows, :]
+            v_all = qkv_ref[2, rows, :]
+            parts = []
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=precision) * scale
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                den = jnp.sum(p, axis=-1, keepdims=True)
+                ctx = jax.lax.dot_general(
+                    p.astype(v_all.dtype), v_all[:, hs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=precision)
+                parts.append(ctx / den)
+            ctx_all = jnp.concatenate(parts, axis=1).astype(xcur_ref.dtype)
+            out = jax.lax.dot_general(
+                ctx_all, wout_ref[0].astype(ctx_all.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            out = (out * sout_ref[0, 0] + bout_ref[0, 0].astype(f32)
+                   + xcur_ref[rows, :].astype(f32))
+            xcur_ref[rows, :] = out.astype(xcur_ref.dtype)
+
+    for c in range(nt):
+        @pl.when(t == nq + b + c)
+        def _(c=c):
+            if c == 0:
+                acc_ref[:] = (xcur_ref[:].astype(f32)
+                              + b2_ref[0].astype(f32))
+            xn = ln(slice(None), g2_ref, bn2_ref)
+            h = jax.lax.dot_general(
+                xn, w1_ref[0].astype(xn.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            h = h * s1_ref[0, 0]
+            h = gelu(h + b1_ref[0, 0].astype(f32)).astype(xn.dtype)
+            y = jax.lax.dot_general(
+                h, w2_ref[0].astype(h.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            acc_ref[:] += y * s2_ref[0, 0]
+            if c == nt - 1:
+                xcur_ref[:] = acc_ref[:].astype(xcur_ref.dtype)
+
+                @pl.when(l == num_layers - 1)
+                def _():
+                    o_ref[:] = xcur_ref[:]
+
+
+def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
+                    scale: float | None = None, seq_len: int | None = None,
+                    eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+    """Run the full encoder on int8-quantized weights in ONE Pallas kernel.
+
+    ``qenc`` = scan-stacked encoder pytree from
+    :func:`vit_tpu.quant.quantize_params`: each of qkv/out/fc1/fc2 has
+    ``kernel = {"q": int8, "scale": fp32 per-output-channel}``. Same
+    schedule/gating as :func:`encoder_stack` (the float plan over-estimates
+    the int8 weight VMEM, so any plan it returns is safe)."""
+    b, sp, d = x.shape
+    L, _, three_d = qenc["qkv"]["kernel"]["q"].shape
+    mlp = qenc["fc1"]["kernel"]["q"].shape[2]
+    hd = d // num_heads
+    assert three_d == 3 * d
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    plan = encoder_stack_plan(b, sp, d, mlp, num_heads, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
+    cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    m = b * sp
+    T = nq + b + nt
+
+    kernel = functools.partial(
+        _encoder_stack_q_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
+        nt=nt, num_layers=L, precision=_dot_precision(x.dtype))
+
+    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    last_q, last_m = nq - 1, nt - 1
+    qtile = lambda n: pl.BlockSpec(
+        (1, 1, n), lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+        memory_space=pltpu.VMEM)
+    mtile = lambda n: pl.BlockSpec(
+        (1, 1, n), lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, T),
+        in_specs=[
+            full,                                               # x
+            lvec(d), lvec(d),                                   # ln1
+            pl.BlockSpec((1, d, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),              # wqkv int8
+            qtile(cq),                                          # sqkv tile
+            qtile(cq),                                          # bqkv tile
+            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),              # wout int8
+            lvec(d),                                            # sout
+            lvec(d),                                            # bout
+            lvec(d), lvec(d),                                   # ln2
+            pl.BlockSpec((1, d, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),              # w1 int8
+            mtile(mt),                                          # s1 tile
+            mtile(mt),                                          # b1 tile
+            pl.BlockSpec((1, mt, d),
+                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         memory_space=pltpu.VMEM),              # w2 int8
+            lvec(d),                                            # s2
+            lvec(d),                                            # b2
+        ],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, d), x.dtype),       # resident activation
+            pltpu.VMEM((3, m, d), x.dtype),    # packed q/k/v
+            pltpu.VMEM((m, d), jnp.float32),   # mlp accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=L * (2 * m * d * 4 * d + 4 * m * sp * d
+                       + 4 * m * d * mlp),
+            bytes_accessed=(2 * m * d * x.dtype.itemsize
+                            + L * (4 * d * d + 2 * d * mlp)),
+            transcendentals=L * m * (sp + mlp)),
+        interpret=interpret,
+    )(x.reshape(m, d),
+      qenc["ln1"]["scale"].reshape(L, 1, d),
+      qenc["ln1"]["bias"].reshape(L, 1, d),
+      qenc["qkv"]["kernel"]["q"],
+      qenc["qkv"]["kernel"]["scale"].reshape(L, 1, 3 * d),
+      qenc["qkv"]["bias"].reshape(L, 1, 3 * d),
+      qenc["out"]["kernel"]["q"],
+      qenc["out"]["kernel"]["scale"].reshape(L, 1, d),
+      qenc["out"]["bias"].reshape(L, 1, d),
+      qenc["ln2"]["scale"].reshape(L, 1, d),
+      qenc["ln2"]["bias"].reshape(L, 1, d),
+      qenc["fc1"]["kernel"]["q"],
+      qenc["fc1"]["kernel"]["scale"].reshape(L, 1, mlp),
+      qenc["fc1"]["bias"].reshape(L, 1, mlp),
+      qenc["fc2"]["kernel"]["q"],
+      qenc["fc2"]["kernel"]["scale"].reshape(L, 1, d),
+      qenc["fc2"]["bias"].reshape(L, 1, d))
+    return out.reshape(b, sp, d)
+
+
 if __name__ == "__main__":
     import argparse
 

@@ -146,10 +146,33 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
     """
     x = embed(qparams, pixels, cfg, impl="xla")
 
-    def body(x, lp):
-        return _block_quant(x, lp, cfg, impl), None
+    from vit_tpu.ops import resolve_impl
+    b, s, d = x.shape
+    stack = None
+    if resolve_impl(impl) == "pallas":
+        from vit_tpu.ops.pallas.block import (encoder_stack_plan,
+                                              encoder_stack_q)
+        from vit_tpu.ops.pallas.common import round_up
+        sp = round_up(s, 16)
+        stack = encoder_stack_plan(b, sp, d, cfg.mlp_dim, cfg.num_heads,
+                                   x.dtype.itemsize)
+    if stack:
+        # Small-batch latency path: the whole encoder as ONE kernel with
+        # int8 weight streaming — half the bf16 weight traffic that sets
+        # the bs<=2 latency floor (docs/PERF.md §3).
+        from vit_tpu.ops.dispatch import interpret_mode
+        xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+        xp = encoder_stack_q(xp, qparams["encoder"],
+                             num_heads=cfg.num_heads,
+                             scale=cfg.head_dim ** -0.5, seq_len=s,
+                             eps=cfg.layernorm_eps,
+                             interpret=interpret_mode(None))
+        x = xp[:, :s]
+    else:
+        def body(x, lp):
+            return _block_quant(x, lp, cfg, impl), None
 
-    x, _ = jax.lax.scan(body, x, qparams["encoder"])
+        x, _ = jax.lax.scan(body, x, qparams["encoder"])
     x = ref.layernorm(x, qparams["ln_final"]["scale"],
                       qparams["ln_final"]["bias"], eps=cfg.layernorm_eps)
 
