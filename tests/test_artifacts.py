@@ -46,3 +46,11 @@ def test_published_csvs_are_sane():
                 except (TypeError, ValueError):
                     continue
                 assert x >= 0, (p, k, v)
+
+
+def test_write_perf_report_html(tmp_path):
+    rows = [{"N": 256, "ms": 1.0}, {"N": 512, "ms": 2.0}]
+    out = write_perf_report("unit_html", rows, x_key="N", y_keys=["ms"],
+                            out_root=str(tmp_path))
+    html = open(os.path.join(out, "results.html")).read()
+    assert "<td>512</td>" in html and "<th>ms</th>" in html

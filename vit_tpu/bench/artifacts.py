@@ -37,6 +37,22 @@ def write_perf_report(name: str, rows: Sequence[dict], *,
         w.writeheader()
         w.writerows(rows)
 
+    # results.html — the reference's third artifact (perf_report writes
+    # csv+png+html per kernel): a self-contained sortable table.
+    html_rows = "\n".join(
+        "<tr>" + "".join(f"<td>{r.get(k, '')}</td>" for k in keys) + "</tr>"
+        for r in rows)
+    with open(os.path.join(out_dir, "results.html"), "w") as f:
+        f.write(
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            f"<title>{name}</title><style>body{{font:14px sans-serif}}"
+            "table{border-collapse:collapse}td,th{border:1px solid #999;"
+            "padding:4px 8px;text-align:right}th{background:#eee}</style>"
+            f"</head><body><h2>{name}</h2><table><tr>"
+            + "".join(f"<th>{k}</th>" for k in keys)
+            + f"</tr>\n{html_rows}\n</table>"
+            + "<p><img src='Performance.png' alt=''></p></body></html>")
+
     if not plot:  # single-row reports (e.g. serving) have nothing to plot
         return out_dir
     try:
