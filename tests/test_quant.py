@@ -216,3 +216,25 @@ def test_forward_quant_pallas_stack_route(rng):
     assert np.abs(a - b).max() > 0  # genuinely different numerics/path
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 2e-2, rel
+
+
+def test_smooth_params_is_float_identity_and_helps_int8(rng):
+    # The fold is exact for the float model; after quantization it should
+    # not hurt (and typically helps) the xla act-quant tier's error.
+    params = vit.init_params(jax.random.key(3), SMALL)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+
+    smoothed = quant.smooth_params(params, SMALL, px)
+    a = np.asarray(forward(params, px, SMALL, impl="xla",
+                           attention="unfused"), np.float64)
+    b = np.asarray(forward(smoothed, px, SMALL, impl="xla",
+                           attention="unfused"), np.float64)
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)  # float identity
+
+    err_base = np.linalg.norm(np.asarray(
+        quant.forward_quant(quant.quantize_params(params), px, SMALL),
+        np.float64) - a)
+    err_smooth = np.linalg.norm(np.asarray(
+        quant.forward_quant(quant.quantize_params(smoothed), px, SMALL),
+        np.float64) - a)
+    assert err_smooth <= err_base * 1.1, (err_smooth, err_base)

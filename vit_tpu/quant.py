@@ -96,6 +96,80 @@ def int8_matmul(x: jax.Array, wq: QParams, bias: jax.Array | None = None,
     return y.astype(x.dtype)
 
 
+def smooth_params(params: Params, cfg: ViTConfig, pixels: jax.Array,
+                  alpha: float = 0.5) -> Params:
+    """SmoothQuant-style outlier migration for the LN-fed matmuls.
+
+    Per input channel j of the QKV and fc1 projections, pick
+    ``c_j = amax_act_j**alpha / amax_w_j**(1-alpha)`` (calibrated on
+    ``pixels`` through the float model) and rewrite
+
+        LN_scale /= c,  LN_bias /= c,  W[j, :] *= c_j
+
+    — exactly identity for the float model (asserted by tests), but the
+    activation rows the XLA tier quantizes dynamically become flatter, so
+    per-row int8 loses less to channel outliers. The out/fc2 projections
+    have nonlinear producers (attention, GELU) and are left untouched.
+    Weight-only kernels (mlp_block_q / encoder_stack_q) are mathematically
+    indifferent to the fold; only their weight scales shift.
+
+    Measured: ~1% error reduction on well-conditioned synthetic weights
+    (tests); the technique's real payoff is pretrained checkpoints with
+    outlier channels (the LLM.int8/SmoothQuant observation), where
+    activation-quant error is outlier-dominated.
+    """
+    from vit_tpu.models.vit import forward_with_intermediates
+
+    _, hiddens = forward_with_intermediates(params, pixels, cfg, impl="xla",
+                                            attention="unfused")
+    enc = {k: dict(v) for k, v in params["encoder"].items()}
+
+    def fold(ln_name, w_name, act_amax):
+        ln, w = dict(enc[ln_name]), dict(enc[w_name])
+        w_amax = jnp.max(jnp.abs(w["kernel"].astype(jnp.float32)), axis=-1)
+        c = (jnp.maximum(act_amax, 1e-6) ** alpha
+             / jnp.maximum(w_amax, 1e-6) ** (1 - alpha))
+        c = jnp.maximum(c, 1e-6)
+        dt = ln["scale"].dtype
+        ln["scale"] = (ln["scale"].astype(jnp.float32) / c).astype(dt)
+        ln["bias"] = (ln["bias"].astype(jnp.float32) / c).astype(dt)
+        w["kernel"] = (w["kernel"].astype(jnp.float32)
+                       * c[..., None]).astype(w["kernel"].dtype)
+        enc[ln_name], enc[w_name] = ln, w
+
+    # Per-layer amax of each LN's output (the matmul input): ln1 sees the
+    # block input, ln2 sees the post-attention activation — recompute it
+    # from the captured block inputs with the float attention half.
+    eps = cfg.layernorm_eps
+    ln1_amax, ln2_amax = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["encoder"])
+        x = hiddens[l]
+        xn = ref.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps)
+        ln1_amax.append(jnp.max(jnp.abs(xn.astype(jnp.float32)),
+                                axis=(0, 1)))
+        b_, s_, d_ = x.shape
+        nh, hd = cfg.num_heads, cfg.head_dim
+        qkv = ref.matmul(xn, lp["qkv"]["kernel"], lp["qkv"]["bias"])
+        q, k, v = qkv.reshape(b_, s_, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        a = ref.softmax((q.astype(jnp.float32)
+                         @ k.astype(jnp.float32).transpose(0, 1, 3, 2))
+                        * hd ** -0.5)
+        ctx = ((a @ v.astype(jnp.float32)).astype(x.dtype)
+               .transpose(0, 2, 1, 3).reshape(b_, s_, d_))
+        xa = x + ref.matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"])
+        xn2 = ref.layernorm(xa, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                            eps=eps)
+        ln2_amax.append(jnp.max(jnp.abs(xn2.astype(jnp.float32)),
+                                axis=(0, 1)))
+
+    fold("ln1", "qkv", jnp.stack(ln1_amax))
+    fold("ln2", "fc1", jnp.stack(ln2_amax))
+    out = dict(params)
+    out["encoder"] = enc
+    return out
+
+
 def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
                  impl: str | None = None) -> jax.Array:
     """One pre-LN block with int8 projections (float attention core)."""
