@@ -36,6 +36,8 @@ class ViTConfig:
     # classification head and pooled-embedding (image-encoder) output mode.
     num_classes: int = 0          # 0 = no head: output is (B, seq, D) hidden states
     pooling: str = "none"         # "none" | "cls" | "mean"
+    num_prefix_tokens: int = 1    # learned prefix tokens: 1 = CLS (ViT),
+                                  # 2 = CLS + distillation (DeiT family)
     dtype: Any = jnp.float32      # activation/param dtype on device
 
     def __post_init__(self) -> None:
@@ -51,6 +53,8 @@ class ViTConfig:
             )
         if self.pooling not in ("none", "cls", "mean"):
             raise ValueError(f"unknown pooling mode {self.pooling!r}")
+        if self.num_prefix_tokens < 1:
+            raise ValueError("num_prefix_tokens must be >= 1 (the CLS token)")
 
     # Derived quantities (reference vit/vit.py:230-232).
     @property
@@ -63,8 +67,8 @@ class ViTConfig:
 
     @property
     def seq_len(self) -> int:
-        """Patches + CLS token (197 for B/16 @ 224px)."""
-        return self.num_patches + 1
+        """Patches + prefix tokens (197 for B/16 @ 224px; 198 for DeiT)."""
+        return self.num_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -98,4 +102,7 @@ VARIANTS: dict[str, ViTConfig] = {
         patch_size=14, hidden_dim=1280, num_heads=16, num_layers=32,
         mlp_dim=5120, pooling="cls",
     ),
+    # DeiT family (facebook/deit-base-patch16-224): ViT encoder with a
+    # second learned prefix token (distillation) -> 198 tokens.
+    "DeiT-B/16": ViTConfig(num_prefix_tokens=2),
 }

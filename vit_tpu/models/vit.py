@@ -55,7 +55,9 @@ def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
 
     params: Params = {
         "embeddings": {
-            "cls_token": tn(next(keys), (1, 1, d)),
+            # Holds ALL learned prefix tokens (CLS for ViT; CLS +
+            # distillation for DeiT, cfg.num_prefix_tokens == 2).
+            "cls_token": tn(next(keys), (1, cfg.num_prefix_tokens, d)),
             "position_embeddings": tn(next(keys), (1, cfg.seq_len, d)),
             "patch_embed": {
                 "kernel": tn(next(keys), (cfg.patch_dim, d)),
@@ -98,7 +100,8 @@ def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
         pixels.shape, cfg)
     e = params["embeddings"]
     dt = cfg.dtype
-    if (sp is not None and ops.resolve_impl(impl) == "pallas"
+    if (sp is not None and cfg.num_prefix_tokens == 1
+            and ops.resolve_impl(impl) == "pallas"
             and ops.embed_fused_ok(b, cfg.num_patches, cfg.patch_dim,
                                    cfg.hidden_dim, sp, jnp.dtype(dt).itemsize)):
         patches = ops.patchify(pixels.astype(dt), cfg.patch_size, impl="xla")
@@ -110,7 +113,8 @@ def embed(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
                                e["patch_embed"]["bias"], cls_row, pos[1:], sp)
     x = ops.patch_embed(pixels.astype(dt), e["patch_embed"]["kernel"],
                         e["patch_embed"]["bias"], cfg.patch_size, impl=impl)
-    cls = jnp.broadcast_to(e["cls_token"].astype(dt), (b, 1, cfg.hidden_dim))
+    cls = jnp.broadcast_to(e["cls_token"].astype(dt),
+                           (b, cfg.num_prefix_tokens, cfg.hidden_dim))
     x = jnp.concatenate([cls, x], axis=1)
     return x + e["position_embeddings"].astype(dt)
 

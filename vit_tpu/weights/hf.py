@@ -58,7 +58,11 @@ def _normalize_state_dict(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
 
 
 def config_from_hf(hf_config: Any, **overrides) -> ViTConfig:
-    """Build a :class:`ViTConfig` from a ``transformers.ViTConfig``."""
+    """Build a :class:`ViTConfig` from a ``transformers`` ViT/DeiT config."""
+    # DeiT adds a learned distillation token after CLS (model_type 'deit').
+    overrides.setdefault(
+        "num_prefix_tokens",
+        2 if getattr(hf_config, "model_type", "") == "deit" else 1)
     return ViTConfig(
         image_size=hf_config.image_size,
         patch_size=hf_config.patch_size,
@@ -108,8 +112,15 @@ def params_from_state_dict(sd: Mapping[str, Any], cfg: ViTConfig) -> Params:
     # matching ops.patchify's per-patch element order.
     patch_kernel = conv_w.reshape(d, cfg.patch_dim).T
 
+    # DeiT stores its second prefix token separately; our pytree packs all
+    # prefix tokens into one (1, num_prefix_tokens, D) leaf.
+    cls = take("embeddings.cls_token")
+    if "embeddings.distillation_token" in sd:
+        cls = np.concatenate([cls, take("embeddings.distillation_token")],
+                             axis=1)
+    assert cls.shape[1] == cfg.num_prefix_tokens, (cls.shape, cfg)
     embeddings = {
-        "cls_token": jnp.asarray(take("embeddings.cls_token"), dt),
+        "cls_token": jnp.asarray(cls, dt),
         "position_embeddings": jnp.asarray(
             take("embeddings.position_embeddings"), dt),
         "patch_embed": {
