@@ -238,3 +238,33 @@ def test_smooth_params_is_float_identity_and_helps_int8(rng):
         quant.forward_quant(quant.quantize_params(smoothed), px, SMALL),
         np.float64) - a)
     assert err_smooth <= err_base * 1.1, (err_smooth, err_base)
+
+
+def test_mlp_block_i8dot_interpret_close_to_float(rng):
+    # Full int8-dot MLP kernel (weights AND activations int8): close to the
+    # float chain within act-quant error, exact-ish vs its own oracle.
+    from vit_tpu.ops import reference as ref
+    from vit_tpu.ops.pallas.block import mlp_block_i8dot, mlp_block_plan
+
+    d, mlp, m = 128, 256, 16
+    x = jnp.asarray(rng.standard_normal((1, m, d)), jnp.float32)
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    w1 = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((d, mlp)) * 0.05, jnp.float32))
+    b1 = jnp.zeros((mlp,), jnp.float32)
+    w2 = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((mlp, d)) * 0.05, jnp.float32))
+    b2 = jnp.zeros((d,), jnp.float32)
+
+    assert mlp_block_plan(m, d, mlp, 4) is not None
+    got = np.asarray(mlp_block_i8dot(x, g, be, w1["q"], w1["scale"], b1,
+                                     w2["q"], w2["scale"], b2,
+                                     interpret=True), np.float64)
+
+    xn = ref.layernorm(x, g, be)
+    w1d = w1["q"].astype(jnp.float32) * w1["scale"]
+    w2d = w2["q"].astype(jnp.float32) * w2["scale"]
+    want = np.asarray(x + ref.gelu(xn @ w1d + b1) @ w2d + b2, np.float64)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, rel

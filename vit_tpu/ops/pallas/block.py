@@ -360,6 +360,127 @@ def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     return out.reshape(*lead, d)
 
 
+# ----------------------------------- int8-dot mlp block (act+weight quant) --
+
+def _mlp_i8dot_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                      s2_ref, b2_ref, o_ref, xq_ref, ax_ref, acc_ref, *,
+                      eps: float, d: int, nt: int, nc: int, ct: int):
+    """:func:`_mlp_q_kernel` with the dots ALSO in int8: activations are
+    dynamically quantized per row (symmetric, max-abs/127) and every matmul
+    runs s8 x s8 -> s32 — the MXU's double-rate int8 path (~2x bf16 on
+    v5e spec). For the compute-bound throughput regime; the weight-only
+    kernel (:func:`_mlp_q_kernel`) keeps the accuracy edge for the
+    DMA-bound small-batch regime. Gated opt-in until the on-chip probe
+    (tools/int8_probe.py) confirms Mosaic lowers int8 dot_generals.
+    """
+    t = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        x32 = x_ref[:].astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[:].astype(f32) + b_ref[:].astype(f32)
+        ax = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        ax_ref[:] = ax
+        xq_ref[:] = jnp.round(xn / ax).astype(jnp.int8)
+        acc_ref[:] = x32 + b2_ref[:].astype(f32)
+
+    xq = xq_ref[:]
+    ax = ax_ref[:]
+    for c in range(nc):
+        sl = slice(c * ct, (c + 1) * ct)
+        acc1 = jax.lax.dot_general(
+            xq, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        h = acc1.astype(f32) * ax * s1_ref[:, sl]
+        h = gelu(h + b1_ref[:, sl].astype(f32))
+        ah = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        hq = jnp.round(h / ah).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(
+            hq, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[:] += acc2.astype(f32) * ah * s2_ref[:]
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def mlp_block_i8dot(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                    w1q: jax.Array, s1: jax.Array, b1: jax.Array,
+                    w2q: jax.Array, s2: jax.Array, b2: jax.Array,
+                    *, eps: float = 1e-12,
+                    interpret: bool = False) -> jax.Array:
+    """Int8-DOT ``x + fc2(gelu(fc1(LN(x))))``: weights AND activations int8,
+    every matmul s8 x s8 -> s32 on the MXU's double-rate path.
+
+    Same weight layout as :func:`mlp_block_q`. Numerics match the XLA
+    tier's :func:`vit_tpu.quant.int8_matmul` (dynamic per-row activation
+    quant), not the float model. Plan-gated like :func:`mlp_block`.
+    """
+    *lead, d = x.shape
+    mlp = w1q.shape[1]
+    assert w1q.dtype == jnp.int8 and w2q.dtype == jnp.int8
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    assert plan is not None, (m, d, mlp, x.dtype)
+    bm, nt, ct = plan
+    mt = mlp // nt
+    nc = mt // ct
+
+    kernel = functools.partial(_mlp_i8dot_kernel, eps=eps, d=d, nt=nt,
+                               nc=nc, ct=ct)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(m, bm), nt),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),          # x
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln scale
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # ln bias
+            pl.BlockSpec((d, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # w1 int8
+            pl.BlockSpec((1, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # s1
+            pl.BlockSpec((1, mt), lambda i, t: (0, t),
+                         memory_space=pltpu.VMEM),          # b1
+            pl.BlockSpec((mt, d), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),          # w2 int8
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # s2
+            pl.BlockSpec((1, d), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # b2
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, d), jnp.int8),     # quantized xn
+            pltpu.VMEM((bm, 1), jnp.float32),  # per-row activation scales
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * mlp,
+            bytes_accessed=2 * m * d * x.dtype.itemsize + 2 * d * mlp,
+            transcendentals=m * mlp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+      w1q, s1.reshape(1, mlp), b1.reshape(1, mlp),
+      w2q, s2.reshape(1, d), b2.reshape(1, d))
+    return out.reshape(*lead, d)
+
+
 # -------------------------------------------------------- attention block --
 
 def _ln32(x32, g_ref, b_ref, eps):
