@@ -71,6 +71,27 @@ def main():
     ok = (got == want).all()
     print(f"compiled int8 dot: {'OK' if ok else 'WRONG'}", file=sys.stderr)
 
+    # 1b. the real kernel, tiny shape: mlp_block_i8dot compile check
+    from vit_tpu.ops.pallas.block import mlp_block_i8dot
+    from vit_tpu.quant import quantize_weight
+    d0, mlp0, m0 = 128, 256, 16
+    x0 = jnp.asarray(rng.standard_normal((1, m0, d0)) * 0.1, jnp.float32)
+    w1 = quantize_weight(jnp.asarray(
+        rng.standard_normal((d0, mlp0)) * 0.05, jnp.float32))
+    w2 = quantize_weight(jnp.asarray(
+        rng.standard_normal((mlp0, d0)) * 0.05, jnp.float32))
+    z = jnp.zeros
+    try:
+        out = mlp_block_i8dot(x0, jnp.ones((d0,)), z((d0,)), w1["q"],
+                              w1["scale"], z((mlp0,)), w2["q"], w2["scale"],
+                              z((d0,)))
+        ok2 = bool(np.isfinite(np.asarray(out, np.float32)).all())
+        print(f"mlp_block_i8dot tiny compile: {'OK' if ok2 else 'NONFINITE'}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"mlp_block_i8dot compile FAILED: {str(e)[:300]}",
+              file=sys.stderr)
+
     # 2. timing at the MLP shape (m=6656 is the bs=32 fc1 row count)
     m, k, n = 1664, 768, 3072
     xq = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
