@@ -65,9 +65,12 @@ class Predictor:
             # principle, but param_shardings' specs describe float kernels).
             from vit_tpu.quant import forward_quant, quantize_params
             params = quantize_params(params)
+            # Mesh serving keeps the xla int8 tier (GSPMD partitions jnp
+            # ops; the pallas quant kernels have no partitioning rules).
+            qimpl = "xla" if mesh is not None else impl
 
             def fwd(p, x):
-                return forward_quant(p, x, cfg)
+                return forward_quant(p, x, cfg, impl=qimpl)
         else:
             def fwd(p, x):
                 return forward(p, x, cfg, impl=impl, attention=attention)
