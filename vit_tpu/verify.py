@@ -90,24 +90,39 @@ def main(argv=None) -> int:
     ap.add_argument("--intermediate", type=int, default=3072)
     ap.add_argument("--image", type=int, default=224)
     ap.add_argument("--patch", type=int, default=16)
+    ap.add_argument("--family", default="vit", choices=["vit", "deit"],
+                    help="oracle model family (deit = CLS + distillation "
+                         "token, 198 tokens)")
     args = ap.parse_args(argv)
 
     import torch
     import transformers
 
+    deit = args.family == "deit"
+    model_cls = transformers.DeiTModel if deit else transformers.ViTModel
+    cfg_cls = transformers.DeiTConfig if deit else transformers.ViTConfig
     if args.checkpoint:
-        hf = transformers.ViTModel.from_pretrained(
+        hf = model_cls.from_pretrained(
             args.checkpoint, add_pooling_layer=False,
             attn_implementation="eager")
     else:
-        hf_cfg = transformers.ViTConfig(
+        hf_cfg = cfg_cls(
             hidden_size=args.hidden, num_hidden_layers=args.layers,
             num_attention_heads=args.heads,
             intermediate_size=args.intermediate,
             image_size=args.image, patch_size=args.patch,
             attn_implementation="eager")
         torch.manual_seed(args.seed)
-        hf = transformers.ViTModel(hf_cfg, add_pooling_layer=False)
+        hf = model_cls(hf_cfg, add_pooling_layer=False)
+        if deit:
+            # HF random-init zeroes DeiT's learned tokens; a pretrained
+            # checkpoint has real values — see tests/test_deit.py.
+            with torch.no_grad():
+                torch.nn.init.normal_(hf.embeddings.cls_token, std=0.02)
+                torch.nn.init.normal_(hf.embeddings.distillation_token,
+                                      std=0.02)
+                torch.nn.init.normal_(hf.embeddings.position_embeddings,
+                                      std=0.02)
         print("note: no checkpoint given — using random-init HF oracle "
               "(identical mapping path)")
     hf.eval()
