@@ -189,15 +189,23 @@ def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
 
     from vit_tpu.ops import resolve_impl
     if resolve_impl(impl) == "pallas":
+        import os
+
         from vit_tpu.ops.dispatch import interpret_mode
-        from vit_tpu.ops.pallas.block import mlp_block_plan, mlp_block_q
+        from vit_tpu.ops.pallas.block import (mlp_block_i8dot,
+                                              mlp_block_plan, mlp_block_q)
         if mlp_block_plan(b * s, d, cfg.mlp_dim, x.dtype.itemsize):
             # Kernel tier: int8 weight STREAMING — half/quarter the fc1+fc2
             # HBM traffic, hidden never in HBM, weight-only numerics
             # (activations stay float, slightly MORE accurate than the XLA
-            # tier's dynamic activation int8).
+            # tier's dynamic activation int8). VIT_TPU_INT8_DOT=1 opts into
+            # the s8xs8->s32 MXU dot variant (2x rate on v5e spec) —
+            # env-gated until tools/int8_probe.py confirms Mosaic support.
+            kern = (mlp_block_i8dot
+                    if os.environ.get("VIT_TPU_INT8_DOT") == "1"
+                    else mlp_block_q)
             k1, k2 = lp["fc1"]["kernel"], lp["fc2"]["kernel"]
-            return mlp_block_q(
+            return kern(
                 x, lp["ln2"]["scale"], lp["ln2"]["bias"],
                 k1["q"], k1["scale"], lp["fc1"]["bias"],
                 k2["q"], k2["scale"], lp["fc2"]["bias"],
