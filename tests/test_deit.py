@@ -68,3 +68,40 @@ def test_deit_pallas_interpret_matches_xla(rng):
     b = np.asarray(vit.forward(params, px, cfg, impl="pallas"))
     assert a.shape == (2, 6, 64)  # 4 patches + 2 prefix tokens
     np.testing.assert_allclose(b, a, rtol=0, atol=2e-5)
+
+
+def test_deit_classifier_import_both_variants(rng):
+    # Plain DeiTForImageClassification maps `classifier.*`; the WithTeacher
+    # variant maps `cls_classifier.*` -> classifier and skips the
+    # distillation head.
+    for cls in (transformers.DeiTForImageClassification,
+                transformers.DeiTForImageClassificationWithTeacher):
+        hf_cfg = transformers.DeiTConfig(
+            hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=96, image_size=32, patch_size=16,
+            num_labels=10, attn_implementation="eager")
+        torch.manual_seed(1)
+        hf = cls(hf_cfg)
+        with torch.no_grad():
+            emb = (hf.deit if hasattr(hf, "deit") else hf).embeddings
+            torch.nn.init.normal_(emb.cls_token, std=0.02)
+            torch.nn.init.normal_(emb.distillation_token, std=0.02)
+            torch.nn.init.normal_(emb.position_embeddings, std=0.02)
+        hf.eval()
+        cfg = config_from_hf(hf_cfg, num_classes=10)
+        from vit_tpu.weights import params_from_state_dict
+        params = params_from_state_dict(hf.state_dict(), cfg)
+        assert params["classifier"]["kernel"].shape == (48, 10)
+
+        px = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        got = np.asarray(vit.forward(params, jnp.asarray(px), cfg,
+                                     impl="xla"))
+        with torch.no_grad():
+            out = hf(torch.from_numpy(px)).logits.numpy()
+        if cls is transformers.DeiTForImageClassification:
+            # exact parity: HF applies the same CLS head
+            assert np.abs(got - out).max() < 1e-4
+        else:
+            # WithTeacher averages CLS and distillation logits; ours is the
+            # CLS head alone — shapes agree, values differ by construction.
+            assert got.shape == out.shape

@@ -35,8 +35,10 @@ from vit_tpu.models.vit import Params
 
 #: Source tensors we intentionally do not import (the reference's model has
 #: no pooler either; its mapping listed pooler keys but they were silently
-#: skipped — reference vit/utils.py:63-64, SURVEY.md §2.3).
-SKIPPED_PREFIXES = ("pooler.",)
+#: skipped — reference vit/utils.py:63-64, SURVEY.md §2.3). DeiT's
+#: distillation head exists only for training-time distillation; HF's own
+#: DeiTForImageClassification ignores it at inference.
+SKIPPED_PREFIXES = ("pooler.", "distillation_classifier.")
 
 
 def _to_np(t: Any) -> np.ndarray:
@@ -51,8 +53,17 @@ def _normalize_state_dict(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
     convert all tensors to numpy."""
     out = {}
     for k, v in sd.items():
-        if k.startswith("vit."):
-            k = k[len("vit."):]
+        for prefix in ("vit.", "deit."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        if k.startswith("cls_classifier."):
+            # DeiTForImageClassificationWithTeacher: import the CLS head as
+            # the classifier. (HF's WithTeacher inference averages CLS and
+            # distillation-head logits; the CLS head alone is the standard
+            # deployment head and the distillation head is skipped —
+            # SKIPPED_PREFIXES.) The plain DeiTForImageClassification
+            # already names its head `classifier.`.
+            k = "classifier." + k[len("cls_classifier."):]
         out[k] = _to_np(v)
     return out
 
