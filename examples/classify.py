@@ -87,11 +87,15 @@ def load_model(args):
                 labels = json.load(f).get("id2label", {})
         return params, cfg, labels
 
-    from transformers import ViTForImageClassification
+    from transformers import AutoConfig, AutoModelForImageClassification
 
     from vit_tpu.weights import config_from_hf, params_from_hf
 
-    hf = ViTForImageClassification.from_pretrained(args.hf)
+    # AutoModel picks the right class per checkpoint (ViT, DeiT, DeiT
+    # WithTeacher); the import path maps each (vit_tpu/weights/hf.py).
+    if AutoConfig.from_pretrained(args.hf).model_type not in ("vit", "deit"):
+        raise SystemExit(f"unsupported model family for {args.hf}")
+    hf = AutoModelForImageClassification.from_pretrained(args.hf)
     cfg = config_from_hf(hf.config, num_classes=hf.config.num_labels,
                          dtype=jnp.bfloat16)
     return params_from_hf(hf, cfg), cfg, {
