@@ -268,3 +268,23 @@ def test_mlp_block_i8dot_interpret_close_to_float(rng):
     want = np.asarray(x + ref.gelu(xn @ w1d + b1) @ w2d + b2, np.float64)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-2, rel
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path, rng):
+    # Int8 pytrees ride the same safetensors checkpoint path: int8 leaves
+    # and fp32 scales keep their dtypes, forward output is identical.
+    from vit_tpu.weights import checkpoint as ckpt
+
+    params = vit.init_params(jax.random.key(0), SMALL)
+    qparams = quant.quantize_params(params)
+    path = str(tmp_path / "q")
+    ckpt.save_params(path, qparams, SMALL)
+    loaded, cfg2 = ckpt.load_params(path)
+    assert cfg2 == SMALL
+    k = loaded["encoder"]["qkv"]["kernel"]
+    assert k["q"].dtype == jnp.int8 and k["scale"].dtype == jnp.float32
+
+    px = jnp.asarray(rng.standard_normal((1, 3, 32, 32)), jnp.float32)
+    a = np.asarray(quant.forward_quant(qparams, px, SMALL), np.float32)
+    b = np.asarray(quant.forward_quant(loaded, px, SMALL), np.float32)
+    np.testing.assert_array_equal(a, b)

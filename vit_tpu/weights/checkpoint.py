@@ -52,7 +52,12 @@ def _unflatten(flat: Mapping[str, np.ndarray], dtype) -> Params:
         parts = key.split(_SEP)
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(arr, dtype)
+        # Float leaves adopt the config dtype; integer leaves (int8
+        # quantized weights) and quantization scales (always fp32 — a bf16
+        # config must not degrade them) keep their stored dtype.
+        keep = (not np.issubdtype(arr.dtype, np.floating)
+                or parts[-1] == "scale" and "kernel" in parts)
+        node[parts[-1]] = jnp.asarray(arr) if keep else jnp.asarray(arr, dtype)
     return params
 
 
