@@ -61,6 +61,8 @@ def main(argv=None):
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--tiny", action="store_true",
                     help="small config / CPU smoke mode (CI)")
+    ap.add_argument("--quant", action="store_true",
+                    help="serve the int8 tier (vit_tpu.quant)")
     ap.add_argument("--out-root", default="benchmarks")
     args = ap.parse_args(argv)
 
@@ -79,7 +81,7 @@ def main(argv=None):
     log(f"device: {jax.devices()[0].device_kind} | impl: {args.impl} "
         f"| dtype: {args.dtype}")
 
-    pred = Predictor(params, cfg, impl=args.impl)
+    pred = Predictor(params, cfg, impl=args.impl, quant=args.quant)
     # Warm every bucket once (compile + first execution).
     t0 = time.perf_counter()
     for b in pred.buckets:
@@ -117,7 +119,8 @@ def main(argv=None):
         f"(incl. host orchestration + RPC)")
 
     rows = [{
-        "metric": "mixed_trace", "requests": len(TRACE), "images": n_img,
+        "metric": "mixed_trace", "quant": int(args.quant),
+        "requests": len(TRACE), "images": n_img,
         "median_ms": round(trace_s * 1e3, 2), "img_per_s": round(ips, 1),
         "unseen_bs27_bucketed_ms": round(bucket_ms, 2),
         "unseen_bs27_naive_jit_ms": round(naive_ms, 2),
