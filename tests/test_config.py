@@ -16,6 +16,7 @@ def test_b16_defaults_match_reference_model():
 
 @pytest.mark.parametrize("name,seq", [
     ("B/16", 197), ("B/32", 50), ("L/16", 197), ("L/16-384", 577), ("H/14", 257),
+    ("DeiT-B/16", 198),
 ])
 def test_variant_seq_lens(name, seq):
     assert VARIANTS[name].seq_len == seq
@@ -33,6 +34,8 @@ def test_validation():
         ViTConfig(hidden_dim=100, num_heads=12)
     with pytest.raises(ValueError):
         ViTConfig(pooling="max")
+    with pytest.raises(ValueError):
+        ViTConfig(num_prefix_tokens=0)
 
 
 def test_replace():
