@@ -288,3 +288,18 @@ def test_quantized_params_checkpoint_roundtrip(tmp_path, rng):
     a = np.asarray(quant.forward_quant(qparams, px, SMALL), np.float32)
     b = np.asarray(quant.forward_quant(loaded, px, SMALL), np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_forward_quant_bf16(rng):
+    # The int8 tier runs in a bf16 activation model too (the production
+    # dtype): finite, close to the bf16 float forward.
+    cfg = SMALL.replace(dtype=jnp.bfloat16)
+    params = vit.init_params(jax.random.key(0), cfg)
+    qparams = quant.quantize_params(params)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.bfloat16)
+    got = np.asarray(quant.forward_quant(qparams, px, cfg), np.float32)
+    want = np.asarray(forward(params, px, cfg, impl="xla",
+                              attention="unfused"), np.float32)
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 6e-2, rel

@@ -19,10 +19,15 @@ Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
   ``vit/utils.py``: ``tensor_info``, ``timed``, ``benchmark``).
 - :mod:`vit_tpu.bench`    — per-kernel and end-to-end benchmark harness
   emitting the reference's ``benchmarks/<name>/Performance.csv`` artifacts.
+- :mod:`vit_tpu.train`    — jitted AdamW train step over the differentiable
+  (custom-VJP) kernel tier; DP/TP sharding via ``mesh=``.
+- :mod:`vit_tpu.serving`  — bucketed fixed-shape serving (compile-once
+  replay), single-chip or mesh fan-out.
+- :mod:`vit_tpu.quant`    — int8 quantized inference tier (docs/QUANT.md).
 """
 
 from vit_tpu.config import ViTConfig, VARIANTS
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["ViTConfig", "VARIANTS", "__version__"]
