@@ -145,8 +145,8 @@ def test_mlp_block_q_interpret_matches_dequant(rng):
 
 
 def test_forward_quant_pallas_impl_matches_xla_mlp_dequant(rng):
-    # impl='pallas' (weight-only int8 MLP kernel, interpret mode) stays
-    # close to the xla tier (which also int8-quantizes MLP activations) —
+    # impl='pallas' (int8-dot MLP kernel by default, interpret mode) stays
+    # close to the xla tier (same dynamic activation-quant numerics) —
     # both approximate the same float model.
     params = vit.init_params(jax.random.key(0), SMALL)
     qparams = quant.quantize_params(params)

@@ -50,7 +50,7 @@ def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
 
         def step(c, params, px):
             x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
-            out = (forward_quant(params, x, cfg) if quant else
+            out = (forward_quant(params, x, cfg, impl=impl) if quant else
                    forward(params, x, cfg, impl=impl, attention=attention))
             return jnp.mean(out).astype(jnp.float32)
 
@@ -87,7 +87,9 @@ def main():
         # overwritten by fp32 or other-dtype runs.
         name = f"{name}_{args.dtype}"
     if args.quant:
-        name = f"{name}_int8"
+        # Impl-suffixed so the xla and pallas quant tiers keep separate
+        # artifacts (benchmarks/model_int8_xla vs model_int8_pallas).
+        name = f"{name}_int8" + (f"_{args.impl}" if args.impl else "")
     out = write_perf_report(name, rows, x_key="batch",
                             y_keys=["tpu_ms"], y_label="ms")
     print(f"wrote {out}")

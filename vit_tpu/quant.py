@@ -195,15 +195,18 @@ def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
         from vit_tpu.ops.pallas.block import (mlp_block_i8dot,
                                               mlp_block_plan, mlp_block_q)
         if mlp_block_plan(b * s, d, cfg.mlp_dim, x.dtype.itemsize):
-            # Kernel tier: int8 weight STREAMING — half/quarter the fc1+fc2
-            # HBM traffic, hidden never in HBM, weight-only numerics
-            # (activations stay float, slightly MORE accurate than the XLA
-            # tier's dynamic activation int8). VIT_TPU_INT8_DOT=1 opts into
-            # the s8xs8->s32 MXU dot variant (2x rate on v5e spec) —
-            # env-gated until tools/int8_probe.py confirms Mosaic support.
-            kern = (mlp_block_i8dot
-                    if os.environ.get("VIT_TPU_INT8_DOT") == "1"
-                    else mlp_block_q)
+            # Kernel tier default: int8-DOT — s8xs8->s32 on the MXU's
+            # double-rate path, probe-confirmed (tools/int8_probe.py,
+            # 243.9 TOPS vs 132.4 TF/s bf16) and measured faster than the
+            # bf16 and weight-only kernels at every batch
+            # (tools/i8dot_bench.py, docs/QUANT.md). Numerics match the
+            # XLA tier (dynamic per-row activation quant).
+            # VIT_TPU_INT8_DOT=0 forces the weight-only streaming kernel
+            # (mlp_block_q): no activation rounding — slightly more
+            # accurate, and within noise of bf16 speed.
+            kern = (mlp_block_q
+                    if os.environ.get("VIT_TPU_INT8_DOT") == "0"
+                    else mlp_block_i8dot)
             k1, k2 = lp["fc1"]["kernel"], lp["fc2"]["kernel"]
             return kern(
                 x, lp["ln2"]["scale"], lp["ln2"]["bias"],
