@@ -270,6 +270,70 @@ def test_mlp_block_i8dot_interpret_close_to_float(rng):
     assert rel < 2e-2, rel
 
 
+def test_attn_block_q_interpret_matches_int8_chain(rng):
+    # Int8-projection attention kernel == the XLA int8 chain (same
+    # per-row activation-quant math), including padded-key masking.
+    from vit_tpu.ops import reference as ref
+    from vit_tpu.ops.pallas.block import attn_block_q, attn_block_q_plan
+
+    b, sp, d, nh, seq = 2, 16, 128, 4, 13
+    hd = d // nh
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), jnp.float32)
+    x = x.at[:, seq:].set(0.0)
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32)
+    be = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    wqkv = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.05, jnp.float32))
+    bqkv = jnp.asarray(0.1 * rng.standard_normal(3 * d), jnp.float32)
+    wout = quant.quantize_weight(
+        jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32))
+    bout = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+
+    assert attn_block_q_plan(b, sp, d, nh, 4) is not None
+    got = np.asarray(attn_block_q(
+        x, g, be, wqkv["q"], wqkv["scale"], bqkv,
+        wout["q"], wout["scale"], bout,
+        num_heads=nh, seq_len=seq, interpret=True), np.float64)
+
+    xn = ref.layernorm(x, g, be, eps=1e-12)
+    qkv = quant.int8_matmul(xn, wqkv, bqkv)
+    q, k, v = qkv.reshape(b, sp, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    scores = (q.astype(jnp.float32)
+              @ k.astype(jnp.float32).transpose(0, 1, 3, 2) * hd ** -0.5)
+    scores = jnp.where(jnp.arange(sp) < seq, scores, -jnp.inf)
+    probs = ref.softmax(scores)
+    ctx = (probs @ v.astype(jnp.float32)).transpose(0, 2, 1, 3)
+    ctx = ctx.reshape(b, sp, d).astype(jnp.float32)
+    want = np.asarray(x + quant.int8_matmul(ctx, wout, bout), np.float64)
+
+    rel = (np.linalg.norm(got[:, :seq] - want[:, :seq])
+           / np.linalg.norm(want[:, :seq]))
+    assert rel < 1e-3, rel
+
+
+def test_forward_quant_pallas_routes_attn_q(rng, monkeypatch):
+    # With the encoder-stack route forced off (as on hardware for b>2),
+    # the pallas quant tier runs int8 mega-kernels for BOTH block halves
+    # and stays close to the xla int8 tier.
+    from vit_tpu.ops.pallas.block import attn_block_q_plan, encoder_stack_plan
+
+    monkeypatch.setenv("VIT_TPU_STACK_PLAN", "8,8")  # infeasible -> None
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=128,
+                    num_heads=4, num_layers=2, mlp_dim=256)
+    assert encoder_stack_plan(4, 16, 128, 256, 4, 4) is None  # not stack
+    assert attn_block_q_plan(4, 16, 128, 4, 4) is not None    # attn_q live
+    params = vit.init_params(jax.random.key(1), cfg)
+    qparams = quant.quantize_params(params)
+    px = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32)
+    a = np.asarray(quant.forward_quant(qparams, px, cfg, impl="xla"),
+                   np.float64)
+    b = np.asarray(quant.forward_quant(qparams, px, cfg, impl="pallas"),
+                   np.float64)
+    assert a.shape == b.shape == (4, cfg.seq_len, 128)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-2, rel
+
+
 def test_quantized_params_checkpoint_roundtrip(tmp_path, rng):
     # Int8 pytrees ride the same safetensors checkpoint path: int8 leaves
     # and fp32 scales keep their dtypes, forward output is identical.

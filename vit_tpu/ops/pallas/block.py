@@ -799,6 +799,161 @@ def _attn_block_wstream(xf, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
 
 
+# ----------------------------------------------- int8-dot attention block --
+
+def _attn_q_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                   wout_ref, sout_ref, bout_ref, o_ref, *, eps: float,
+                   d: int, sp: int, num_heads: int, head_dim: int,
+                   scale: float, seq_len: int, group: int, precision):
+    """:func:`_attn_kernel` with the QKV and output PROJECTIONS in int8:
+    the LN image and the per-head context are dynamically quantized per
+    row (symmetric max-abs/127, the vit_tpu.quant scheme) and the four
+    projection dots run s8 x s8 -> s32 on the MXU's double-rate path.
+    The attention CORE (scores, softmax, context) stays float — its
+    operands are activations x activations, so there is no weight scale
+    to fold a quantization into, and it is the accuracy-critical part.
+    """
+    f32 = jnp.float32
+    cdtype = x_ref.dtype
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        x32 = x_ref[rows, :].astype(f32)
+        xn = _ln32(x32, g_ref, b_ref, eps)
+        ax = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        xq = jnp.round(xn / ax).astype(jnp.int8)
+
+        proj = []
+        for p_i in range(3):
+            cols = slice(p_i * d, (p_i + 1) * d)
+            z = jax.lax.dot_general(
+                xq, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            z = (z.astype(f32) * ax * sqkv_ref[:, cols]
+                 + bqkv_ref[:, cols].astype(f32))
+            proj.append(z.astype(cdtype))
+        q_all, k_all, v_all = proj
+
+        parts = []
+        for h in range(num_heads):
+            hs = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=precision) * scale
+            if seq_len != sp:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < seq_len, s, float("-inf"))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(
+                p.astype(cdtype), v_all[:, hs], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            parts.append(ctx / l)
+        ctx_all = jnp.concatenate(parts, axis=1)  # fp32
+
+        ac = jnp.maximum(jnp.max(jnp.abs(ctx_all), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        cq = jnp.round(ctx_all / ac).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            cq, wout_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = out.astype(f32) * ac * sout_ref[:] + bout_ref[:].astype(f32)
+        o_ref[rows, :] = (out + x32).astype(o_ref.dtype)
+
+
+def attn_block_q_plan(b: int, sp: int, d: int, num_heads: int,
+                      itemsize: int, budget: int = _VMEM_BUDGET):
+    """Group size for :func:`attn_block_q`, or None if no config fits.
+
+    Always an mstream-style plan (there is no int8 wstream kernel — the
+    small-batch latency regime belongs to :func:`encoder_stack_q`), sized
+    with the REAL int8 weight footprint (4d² bytes vs the float plan's
+    4d²·itemsize) plus the xq/cq int8 row scratch, so geometries the
+    float planner routes to wstream still get a kernel here.
+    """
+    if d % 128 or sp % 8 or d % num_heads:
+        return None
+    w = 4 * d * d + 4 * 4 * d                       # int8 weights + scales
+    per_batch = (2 * 2 * sp * d * itemsize          # x + out dbuf
+                 + sp * d * (4 + 3 * itemsize)      # fp32 proj + q/k/v
+                 + sp * sp * 4 * 2                  # scores + probs fp32
+                 + sp * d * 4                       # ctx fp32
+                 + 2 * sp * d)                      # xq + cq int8
+    if w + per_batch > budget:
+        return None
+    group = b
+    while b % group or w + group * per_batch > budget:
+        group -= 1
+    return group
+
+
+def attn_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                 wqkv_q: jax.Array, sqkv: jax.Array, bqkv: jax.Array,
+                 wout_q: jax.Array, sout: jax.Array, bout: jax.Array,
+                 *, num_heads: int, scale: float | None = None,
+                 seq_len: int | None = None, eps: float = 1e-12,
+                 interpret: bool = False) -> jax.Array:
+    """Int8-projection ``x + proj(MHA(LN(x)))`` in one Pallas pass.
+
+    ``wqkv_q`` (D, 3D) / ``wout_q`` (D, D) int8 with fp32 per-output-
+    channel scales ``sqkv`` (3D,) / ``sout`` (D,) from
+    :func:`vit_tpu.quant.quantize_weight`; activations are quantized
+    per row inside the kernel (the XLA tier's numerics). Requires a
+    group from :func:`attn_block_q_plan` (caller gates on it).
+    """
+    b, sp, d = x.shape
+    hd = d // num_heads
+    assert wqkv_q.dtype == jnp.int8 and wout_q.dtype == jnp.int8
+    assert wqkv_q.shape == (d, 3 * d) and wout_q.shape == (d, d)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    group = attn_block_q_plan(b, sp, d, num_heads, x.dtype.itemsize)
+    assert group is not None, (b, sp, d, num_heads, x.dtype)
+    xf = x.reshape(b * sp, d)
+
+    kernel = functools.partial(
+        _attn_q_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, group=group,
+        precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                            # x
+            vec(d), vec(d),                                 # ln scale/bias
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wqkv int8
+            vec(3 * d),                                     # sqkv fp32
+            vec(3 * d),                                     # bqkv
+            pl.BlockSpec((d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wout int8
+            vec(d),                                         # sout fp32
+            vec(d),                                         # bout
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
+            bytes_accessed=2 * b * sp * d * x.dtype.itemsize + 4 * d * d,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+      wqkv_q, sqkv.reshape(1, 3 * d).astype(jnp.float32),
+      bqkv.reshape(1, 3 * d),
+      wout_q, sout.reshape(1, d).astype(jnp.float32), bout.reshape(1, d))
+    return out.reshape(b, sp, d)
+
+
 # ------------------------------------------------------------- layer block --
 
 def _layer_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref, wout_ref,

@@ -171,23 +171,46 @@ def smooth_params(params: Params, cfg: ViTConfig, pixels: jax.Array,
 
 
 def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
-                 impl: str | None = None) -> jax.Array:
-    """One pre-LN block with int8 projections (float attention core)."""
+                 impl: str | None = None,
+                 seq_len: int | None = None) -> jax.Array:
+    """One pre-LN block with int8 projections (float attention core).
+
+    ``seq_len``: real token count when ``x`` is padded along S — set by
+    the pallas route, which pads the whole encoder once (like the float
+    :func:`vit_tpu.models.vit.forward`) so the attention mega-kernel gets
+    sublane-aligned tiles; padded keys are masked in-kernel.
+    """
     b, s, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layernorm_eps
 
-    xn = ref.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps)
-    qkv = int8_matmul(xn, lp["qkv"]["kernel"], lp["qkv"]["bias"])
-    q, k, v = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    scores = (q.astype(jnp.float32) @ k.astype(jnp.float32).transpose(0, 1, 3, 2)
-              * hd ** -0.5)
-    probs = ref.softmax(scores)
-    ctx = (probs @ v.astype(jnp.float32)).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
-    x = x + int8_matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"])
-
     from vit_tpu.ops import resolve_impl
+    attn_done = False
+    if resolve_impl(impl) == "pallas":
+        from vit_tpu.ops.dispatch import interpret_mode
+        from vit_tpu.ops.pallas.block import attn_block_q, attn_block_q_plan
+        if attn_block_q_plan(b, s, d, nh, x.dtype.itemsize) is not None:
+            kq, ko = lp["qkv"]["kernel"], lp["out"]["kernel"]
+            x = attn_block_q(
+                x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                kq["q"], kq["scale"], lp["qkv"]["bias"],
+                ko["q"], ko["scale"], lp["out"]["bias"],
+                num_heads=nh, seq_len=seq_len, eps=eps,
+                interpret=interpret_mode(None))
+            attn_done = True
+    if not attn_done:
+        xn = ref.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=eps)
+        qkv = int8_matmul(xn, lp["qkv"]["kernel"], lp["qkv"]["bias"])
+        q, k, v = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        scores = (q.astype(jnp.float32)
+                  @ k.astype(jnp.float32).transpose(0, 1, 3, 2) * hd ** -0.5)
+        if seq_len is not None and seq_len != s:
+            scores = jnp.where(jnp.arange(s) < seq_len, scores, -jnp.inf)
+        probs = ref.softmax(scores)
+        ctx = (probs @ v.astype(jnp.float32)).astype(x.dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        x = x + int8_matmul(ctx, lp["out"]["kernel"], lp["out"]["bias"])
+
     if resolve_impl(impl) == "pallas":
         import os
 
@@ -254,10 +277,24 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
                              interpret=interpret_mode(None))
         x = xp[:, :s]
     else:
+        sp16 = s
+        if resolve_impl(impl) == "pallas":
+            # Pad the whole encoder to a sublane-aligned token count once
+            # (mirrors the float forward, vit_tpu/models/vit.py:267-276):
+            # the mega-kernels then see aligned tiles, padded keys are
+            # masked in-kernel, and the pad is sliced off after the scan.
+            from vit_tpu.ops.pallas.common import round_up
+            sp16 = round_up(s, 16)
+            if sp16 != s:
+                x = jnp.pad(x, ((0, 0), (0, sp16 - s), (0, 0)))
+
         def body(x, lp):
-            return _block_quant(x, lp, cfg, impl), None
+            return _block_quant(x, lp, cfg, impl,
+                                seq_len=s if sp16 != s else None), None
 
         x, _ = jax.lax.scan(body, x, qparams["encoder"])
+        if sp16 != s:
+            x = x[:, :s]
     x = ref.layernorm(x, qparams["ln_final"]["scale"],
                       qparams["ln_final"]["bias"], eps=cfg.layernorm_eps)
 
