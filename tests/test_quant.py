@@ -115,6 +115,30 @@ def test_quant_predictor_single_and_mesh(rng):
     np.testing.assert_allclose(out_dp, out, rtol=0, atol=1e-5)
 
 
+def test_quant_predictor_mesh_pallas_mega_kernels(rng):
+    # Mesh quant serving on the pallas tier: shard_map batch-DP runs the
+    # int8 mega-kernels (attn_block_q + MLP) per shard; a geometry whose
+    # plans are live (d=128) must match single-device pallas exactly.
+    from vit_tpu.ops.pallas.block import attn_block_q_plan
+    from vit_tpu.parallel import make_mesh
+    from vit_tpu.serving import Predictor
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=128,
+                    num_heads=4, num_layers=2, mlp_dim=256, num_classes=8)
+    assert attn_block_q_plan(1, 16, 128, 4, 4) is not None
+    params = vit.init_params(jax.random.key(0), cfg)
+    imgs = np.asarray(rng.standard_normal((8, 3, 32, 32)), np.float32)
+
+    single = Predictor(params, cfg, buckets=(8,), quant=True, impl="pallas")
+    out = np.asarray(single(imgs), np.float32)
+
+    mesh = make_mesh(data=8, model=1)
+    dp = Predictor(params, cfg, buckets=(8,), mesh=mesh, quant=True,
+                   impl="pallas")
+    out_dp = np.asarray(dp(imgs), np.float32)
+    np.testing.assert_allclose(out_dp, out, rtol=0, atol=1e-5)
+
+
 def test_mlp_block_q_interpret_matches_dequant(rng):
     # The int8 weight-streaming kernel == the float MLP chain run on
     # DEQUANTIZED weights (same math, scales applied after the dots).

@@ -65,12 +65,9 @@ class Predictor:
             # principle, but param_shardings' specs describe float kernels).
             from vit_tpu.quant import forward_quant, quantize_params
             params = quantize_params(params)
-            # Mesh serving keeps the xla int8 tier (GSPMD partitions jnp
-            # ops; the pallas quant kernels have no partitioning rules).
-            qimpl = "xla" if mesh is not None else impl
 
             def fwd(p, x):
-                return forward_quant(p, x, cfg, impl=qimpl)
+                return forward_quant(p, x, cfg, impl=impl)
         else:
             def fwd(p, x):
                 return forward(p, x, cfg, impl=impl, attention=attention)
@@ -94,10 +91,12 @@ class Predictor:
                 self.params = jax.device_put(
                     params, param_shardings(params, mesh, cfg))
             self._in_sharding = batch_sharding(mesh)
-            if not quant and resolve_impl(impl) == "pallas":
-                # Pallas kernels have no GSPMD partitioning rules — shard the
-                # batch explicitly so each chip runs the single-device
-                # program on its shard (no collectives needed for inference).
+            if resolve_impl(impl) == "pallas":
+                # Pallas kernels (float AND int8 mega-kernels) have no GSPMD
+                # partitioning rules — shard the batch explicitly so each
+                # chip runs the single-device program on its shard (no
+                # collectives needed for inference). Quant params are
+                # replicated, so their in_spec is P() like float params.
                 assert mesh.shape["model"] == 1, (
                     "pallas serving shards the batch only; use impl='xla' "
                     "for tensor parallelism")
