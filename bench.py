@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sweep", action="store_true",
                     help="also run the reference's batch sweep to stderr")
+    ap.add_argument("--no-quant", action="store_true",
+                    help="skip the int8-tier sidecar measurement")
     args = ap.parse_args()
 
     # Availability guard: the tunneled TPU service can be down for hours
@@ -124,18 +126,45 @@ def main():
     log(f"bs=1: {l1:.3f} ms/forward "
         f"(reference Triton: 70.9 ms, HF GPU: 4.7 ms)")
 
+    # Secondary: the int8 serving tier (docs/QUANT.md) — fastest path at
+    # every batch (s8xs8->s32 on the MXU double-rate path). Reported as a
+    # sidecar field; the headline stays the bit-accurate bf16 tier.
+    int8_ips = None
+    if not args.no_quant:
+        try:
+            from vit_tpu.quant import forward_quant, quantize_params
+            qparams = quantize_params(init_params(jax.random.key(0), cfg))
+            rng = np.random.default_rng(0)
+            px = jnp.asarray(rng.standard_normal(
+                (args.batch, 3, cfg.image_size, cfg.image_size)), cfg.dtype)
+
+            def qstep(c, qparams, px):
+                x = px * (1.0 + c * 1e-30).astype(cfg.dtype)
+                out = forward_quant(qparams, x, cfg, impl=args.impl)
+                return jnp.mean(out).astype(jnp.float32)
+
+            qms = bench_chained(qstep, reps=args.reps, args=(qparams, px))
+            int8_ips = round(args.batch / (qms / 1e3), 1)
+            log(f"int8 tier bs={args.batch}: {qms:.3f} ms/forward -> "
+                f"{int8_ips} img/s")
+        except Exception as e:  # never let the sidecar kill the headline
+            log(f"int8 tier bench skipped: {e!r}")
+
     if args.sweep:
         for b in [1, 2, 4, 8, 16, 24, 32, 48, 64]:
             s = model_ms(cfg, b, impl=args.impl, attention=args.attention,
                          reps=args.reps)
             log(f"  sweep bs={b:3d}: {s:8.3f} ms  {b / (s / 1e3):9.1f} img/s")
 
-    print(json.dumps({
+    out = {
         "metric": f"vit_b16_images_per_sec_bs{args.batch}_{args.dtype}",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / HF_GPU_BS32_IMG_PER_SEC, 2),
-    }))
+    }
+    if int8_ips is not None:
+        out["int8_tier_images_per_sec"] = int8_ips
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -252,16 +252,28 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
     :func:`quantize_params`. ``impl="pallas"`` routes the MLP half through
     the int8 weight-streaming mega-kernel (:func:`mlp_block_q`).
     """
-    x = embed(qparams, pixels, cfg, impl="xla")
-
     from vit_tpu.ops import resolve_impl
-    b, s, d = x.shape
-    stack = None
-    if resolve_impl(impl) == "pallas":
-        from vit_tpu.ops.pallas.block import (encoder_stack_plan,
-                                              encoder_stack_q)
+    pallas = resolve_impl(impl) == "pallas"
+    s = cfg.seq_len
+    sp = s
+    if pallas:
+        # Run the WHOLE encoder at a sublane-aligned token count (mirrors
+        # the float forward, vit_tpu/models/vit.py:267-276): the mega-
+        # kernels see aligned tiles, padded keys are masked in-kernel, and
+        # the pad is sliced off after the final LN. The fused embed kernel
+        # emits the padded matrix directly at small batch, so the unpadded
+        # embedding never exists in HBM (same front-end as the float tier).
         from vit_tpu.ops.pallas.common import round_up
         sp = round_up(s, 16)
+    x = embed(qparams, pixels, cfg, impl=impl, sp=sp if sp != s else None)
+    if x.shape[1] != sp:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    b, d = x.shape[0], cfg.hidden_dim
+    stack = None
+    if pallas:
+        from vit_tpu.ops.pallas.block import (encoder_stack_plan,
+                                              encoder_stack_q)
         stack = encoder_stack_plan(b, sp, d, cfg.mlp_dim, cfg.num_heads,
                                    x.dtype.itemsize)
     if stack:
@@ -269,34 +281,21 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
         # int8 weight streaming — half the bf16 weight traffic that sets
         # the bs<=2 latency floor (docs/PERF.md §3).
         from vit_tpu.ops.dispatch import interpret_mode
-        xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
-        xp = encoder_stack_q(xp, qparams["encoder"],
-                             num_heads=cfg.num_heads,
-                             scale=cfg.head_dim ** -0.5, seq_len=s,
-                             eps=cfg.layernorm_eps,
-                             interpret=interpret_mode(None))
-        x = xp[:, :s]
+        x = encoder_stack_q(x, qparams["encoder"],
+                            num_heads=cfg.num_heads,
+                            scale=cfg.head_dim ** -0.5, seq_len=s,
+                            eps=cfg.layernorm_eps,
+                            interpret=interpret_mode(None))
     else:
-        sp16 = s
-        if resolve_impl(impl) == "pallas":
-            # Pad the whole encoder to a sublane-aligned token count once
-            # (mirrors the float forward, vit_tpu/models/vit.py:267-276):
-            # the mega-kernels then see aligned tiles, padded keys are
-            # masked in-kernel, and the pad is sliced off after the scan.
-            from vit_tpu.ops.pallas.common import round_up
-            sp16 = round_up(s, 16)
-            if sp16 != s:
-                x = jnp.pad(x, ((0, 0), (0, sp16 - s), (0, 0)))
-
         def body(x, lp):
             return _block_quant(x, lp, cfg, impl,
-                                seq_len=s if sp16 != s else None), None
+                                seq_len=s if sp != s else None), None
 
         x, _ = jax.lax.scan(body, x, qparams["encoder"])
-        if sp16 != s:
-            x = x[:, :s]
     x = ref.layernorm(x, qparams["ln_final"]["scale"],
                       qparams["ln_final"]["bias"], eps=cfg.layernorm_eps)
+    if sp != s:
+        x = x[:, :s]
 
     if cfg.num_classes:
         pooled = x[:, 0] if cfg.pooling in ("none", "cls") else jnp.mean(x, axis=1)
