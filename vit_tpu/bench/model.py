@@ -29,6 +29,9 @@ REFERENCE_MS = {
     16: {"triton_gpu": 71.9, "hf_gpu": 43.2},
     32: {"triton_gpu": 104.8, "hf_gpu": 80.3},
     64: {"triton_gpu": 260.6, "hf_gpu": 161.5},
+    # Older-run rows (reference benchmarks/model/benchmark.csv:6-7).
+    128: {"triton_gpu": 490.6, "hf_gpu": 318.7},
+    256: {"triton_gpu": 1140.0, "hf_gpu": 629.1},
 }
 
 BATCH_SWEEP = [1, 2, 4, 8, 16, 24, 32, 48, 64]

@@ -579,6 +579,17 @@ def main():
     tag = "" if args.variant == "B/16" else \
         f"_{args.variant.replace('/', '_')}"
     path = f"benchmarks/tune/sweep_{args.op}{tag}_{args.dtype}.json"
+    # Merge with any prior log at this path: a targeted re-tune (e.g.
+    # --batches 128 only) must not drop the other shapes' sweep history.
+    try:
+        with open(path) as f:
+            prior = json.load(f)["sweeps"]
+    except (OSError, ValueError, KeyError):
+        prior = []
+    seen = {(s["op"], tuple(s["shape"])) for s in sweep_log["sweeps"]}
+    sweep_log["sweeps"] += [s for s in prior
+                            if (s["op"], tuple(s["shape"])) not in seen]
+    sweep_log["sweeps"].sort(key=lambda s: (s["op"], s["shape"]))
     with open(path, "w") as f:
         json.dump(sweep_log, f, indent=1)
     log(f"sweep log -> {path}; winners -> {tuning._PATH}")
