@@ -15,7 +15,25 @@ kernel to attribute the cost before optimizing:
                   dot per pair of heads (contraction still 64; checks
                   whether fewer/larger MXU ops beat 12 small ones)
 
-Only ``full`` is numerically meaningful; the others are perf probes.
+Round-3 candidates (the "head-major packing" family PERF.md §5 names):
+
+- ``kt``        — K projection produced TRANSPOSED (one (D,D)x(sp,D)
+                  dims-((0),(1)) dot -> kT (D, sp)), so every per-head
+                  score dot is a natural (M,K)x(K,N) matmul instead of a
+                  transposed-rhs dot (checks whether Mosaic pays a
+                  relayout for the rhs-transposed q.k^T form)
+- ``tcore``     — fully head-major core inside the current (sp, D) block
+                  layout: xn transposed once per segment, transposed
+                  projections with pre-transposed weights, scores
+                  contracted over sublanes, context dot natural with
+                  M=head_dim (no 64->128 output-lane padding), transposed
+                  out-proj, ONE transpose back at the end
+- ``xcore``     — upper bound for a transposed-activation model: the
+                  whole block consumes and produces (D, m) activations;
+                  zero in-kernel transposes anywhere
+
+Only ``full``/``kt``/``tcore``/``xcore`` are numerically meaningful; the
+rest are perf probes.
 
 Usage (on TPU):  python tools/attn_core_probe.py --batch 32 --group 4
 """
@@ -54,15 +72,17 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         x32 = x_ref[rows, :].astype(jnp.float32)
         xn = _ln32(x32, g_ref, b_ref, eps).astype(x_ref.dtype)
 
-        proj = []
+        proj = {}
         for p_i in range(3):
+            if mode == "kt" and p_i == 1:
+                continue  # kt produces the K projection transposed below
             cols = slice(p_i * d, (p_i + 1) * d)
             z = jax.lax.dot_general(
                 xn, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
             z = z + bqkv_ref[:, cols].astype(jnp.float32)
-            proj.append(z.astype(x_ref.dtype))
-        q_all, k_all, v_all = proj
+            proj[p_i] = z.astype(x_ref.dtype)
+        q_all, k_all, v_all = proj.get(0), proj.get(1), proj.get(2)
 
         if mode == "projonly":
             ctx_all = q_all
@@ -134,6 +154,36 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 ctx, l = ctx1[:, :head_dim], ctx1[:, head_dim:]
                 parts.append((ctx / l).astype(x_ref.dtype))
             ctx_all = jnp.concatenate(parts, axis=1)
+        elif mode == "kt":
+            # K produced transposed: ONE dims-((0),(1)) dot makes kT (d, sp)
+            # head-major in rows, so every score dot below is a NATURAL
+            # (M,K)x(K,N) matmul (q (sp,hd) @ kT_h (hd,sp)) instead of the
+            # rhs-transposed q.k^T contraction of `full`.
+            kcols = slice(d, 2 * d)
+            kT = jax.lax.dot_general(
+                wqkv_ref[:, kcols], xn, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            kT = (kT + bqkv_ref[0, kcols][:, None].astype(jnp.float32)
+                  ).astype(x_ref.dtype)
+            parts = []
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q_all[:, hs], kT[hs, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision) * scale
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                ctx = jax.lax.dot_general(
+                    p.astype(x_ref.dtype), v_all[:, hs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                parts.append((ctx / l).astype(x_ref.dtype))
+            ctx_all = jnp.concatenate(parts, axis=1)
         else:
             parts = []
             for h in range(num_heads):
@@ -199,14 +249,98 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                           + x32).astype(o_ref.dtype)
 
 
+def _tcore_body(xn32, wqkvT_ref, bqkv_ref, woutT_ref, *, d, sp, num_heads,
+                head_dim, scale, seq_len, precision, cdtype):
+    """Head-major core on an fp32 (d, sp) transposed LN image: transposed
+    projections (natural dots against pre-transposed weights), scores
+    contracted over sublanes, context with M=head_dim (no 64->128
+    output-lane padding), transposed out-proj. Returns fp32 (d, sp)."""
+    xnT = xn32.astype(cdtype)
+    projT = []
+    for p_i in range(3):
+        rows_w = slice(p_i * d, (p_i + 1) * d)
+        zT = jax.lax.dot_general(
+            wqkvT_ref[rows_w, :], xnT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        zT = zT + bqkv_ref[0, rows_w][:, None].astype(jnp.float32)
+        projT.append(zT.astype(cdtype))
+    qT, kT, vT = projT
+
+    partsT = []
+    for h in range(num_heads):
+        hs = slice(h * head_dim, (h + 1) * head_dim)
+        sT = jax.lax.dot_general(
+            kT[hs, :], qT[hs, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale          # (sp_k, sp_q)
+        if seq_len != sp:
+            row = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+            sT = jnp.where(row < seq_len, sT, float("-inf"))
+        sT = sT - jnp.max(sT, axis=0, keepdims=True)
+        pT = jnp.exp(sT)
+        l = jnp.sum(pT, axis=0, keepdims=True)    # (1, sp_q) lane vector
+        ctxT = jax.lax.dot_general(
+            vT[hs, :], pT.astype(cdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        partsT.append(ctxT * (1.0 / l))
+    ctxT_all = jnp.concatenate(partsT, axis=0).astype(cdtype)  # (d, sp)
+
+    return jax.lax.dot_general(
+        woutT_ref[:], ctxT_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _tcore_kernel(x_ref, g_ref, b_ref, wqkvT_ref, bqkv_ref, woutT_ref,
+                  bout_ref, o_ref, *, eps, d, sp, num_heads, head_dim,
+                  scale, seq_len, group, precision):
+    """`tcore`: standard (rows, d) block layout outside, head-major core
+    inside — ONE transpose in (xn) and one out (the block output)."""
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        x32 = x_ref[rows, :].astype(jnp.float32)
+        xn32 = _ln32(x32, g_ref, b_ref, eps)
+        outT = _tcore_body(
+            xn32.T, wqkvT_ref, bqkv_ref, woutT_ref, d=d, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype)
+        out = outT.astype(x_ref.dtype).T.astype(jnp.float32)
+        o_ref[rows, :] = (out + bout_ref[:].astype(jnp.float32)
+                          + x32).astype(o_ref.dtype)
+
+
+def _xcore_kernel(x_ref, g_ref, b_ref, wqkvT_ref, bqkv_ref, woutT_ref,
+                  bout_ref, o_ref, *, eps, d, sp, num_heads, head_dim,
+                  scale, seq_len, group, precision):
+    """`xcore`: the whole block consumes and produces (d, m) transposed
+    activations — zero in-kernel transposes (upper bound for a
+    transposed-activation model layout)."""
+    gcol = g_ref[0, :][:, None].astype(jnp.float32)
+    bcol = b_ref[0, :][:, None].astype(jnp.float32)
+    bout_col = bout_ref[0, :][:, None].astype(jnp.float32)
+    for g in range(group):
+        cols = slice(g * sp, (g + 1) * sp)
+        x32 = x_ref[:, cols].astype(jnp.float32)           # (d, sp)
+        mu = jnp.mean(x32, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=0, keepdims=True)
+        xn32 = (x32 - mu) * jax.lax.rsqrt(var + eps) * gcol + bcol
+        outT = _tcore_body(
+            xn32, wqkvT_ref, bqkv_ref, woutT_ref, d=d, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype)
+        o_ref[:, cols] = (outT + bout_col + x32).astype(o_ref.dtype)
+
+
 def probe(mode, x, g1, be1, wqkv, bqkv, wout, bout, *, num_heads, seq_len,
-          group):
-    b, sp, d = x.shape
+          group, shape=None):
+    b, sp, d = shape if shape is not None else x.shape
     hd = d // num_heads
-    kernel = functools.partial(
-        _core_kernel, eps=1e-12, d=d, sp=sp, num_heads=num_heads,
-        head_dim=hd, scale=hd ** -0.5, seq_len=seq_len, group=group,
-        precision=_dot_precision(x.dtype), mode=mode)
+    common = dict(eps=1e-12, d=d, sp=sp, num_heads=num_heads,
+                  head_dim=hd, scale=hd ** -0.5, seq_len=seq_len,
+                  group=group, precision=_dot_precision(x.dtype))
+    if mode in ("tcore", "xcore"):
+        return _probe_t(mode, x, g1, be1, wqkv, bqkv, wout, bout,
+                        common=common, b=b, sp=sp, d=d, group=group)
+    kernel = functools.partial(_core_kernel, mode=mode, **common)
     blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -227,6 +361,57 @@ def probe(mode, x, g1, be1, wqkv, bqkv, wout, bout, *, num_heads, seq_len,
     )(x.reshape(b * sp, d), g1.reshape(1, d), be1.reshape(1, d), wqkv,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
     return out.reshape(b, sp, d)
+
+
+def _probe_t(mode, x, g1, be1, wqkv, bqkv, wout, bout, *, common, b, sp, d,
+             group):
+    """pallas_call wrapper for the transposed-core kernels. Weights are
+    pre-transposed on the host (free at param-load time in production);
+    for `xcore` the activations are handed over already in (d, m) layout
+    (main() transposes once outside the bench chain), so the slope times
+    the pure transposed block — the honest model for a model whose
+    activations live transposed end-to-end."""
+    wqkvT, woutT = wqkv.T, wout.T              # (3d, d), (d, d)
+    kernel = functools.partial(
+        _tcore_kernel if mode == "tcore" else _xcore_kernel, **common)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    wspecs = [
+        vec(d), vec(d),
+        pl.BlockSpec((3 * d, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),              # wqkvT
+        vec(3 * d),
+        pl.BlockSpec((d, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),              # woutT
+        vec(d),
+    ]
+    if mode == "tcore":
+        blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel, grid=(b // group,),
+            in_specs=[blk] + wspecs, out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=28 * 2**20),
+        )(x.reshape(b * sp, d), g1.reshape(1, d), be1.reshape(1, d), wqkvT,
+          bqkv.reshape(1, 3 * d), woutT, bout.reshape(1, d))
+        return out.reshape(b, sp, d)
+    # xcore: activations arrive AND leave in (d, m) layout — x must
+    # already be (d, b*sp) (main() pre-transposes outside the bench loop).
+    assert x.shape == (d, b * sp), x.shape
+    blkT = pl.BlockSpec((d, group * sp), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(b // group,),
+        in_specs=[blkT] + wspecs, out_specs=blkT,
+        out_shape=jax.ShapeDtypeStruct((d, b * sp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 2**20),
+    )(x, g1.reshape(1, d), be1.reshape(1, d), wqkvT,
+      bqkv.reshape(1, 3 * d), woutT, bout.reshape(1, d))
 
 
 def main():
@@ -255,12 +440,16 @@ def main():
     flops = (8 * B * SP * D * D + 4 * B * SP * SP * D) / 1e12
 
     for mode in args.modes:
-        def step(c, x, *w):
+        # xcore consumes/produces (D, m) activations: transpose once,
+        # OUTSIDE the timed chain (the honest model for a transposed-
+        # activation model layout).
+        xin = (x.reshape(B * SP, D).T if mode == "xcore" else x)
+        def step(c, x, *w, mode=mode):
             out = probe(mode, x * (1 + c * 1e-30).astype(dt), *w,
                         num_heads=args.heads, seq_len=args.seq_len,
-                        group=args.group)
+                        group=args.group, shape=(B, SP, D))
             return jnp.mean(out).astype(jnp.float32)
-        ms = bench_chained(step, args=(x, g1, be1, wqkv, bqkv, wout, bout))
+        ms = bench_chained(step, args=(xin, g1, be1, wqkv, bqkv, wout, bout))
         print(f"{mode:10s} {ms:.4f} ms   {flops / (ms / 1e3):6.1f} TF/s "
               f"(nominal-FLOP rate)", flush=True)
 
