@@ -122,3 +122,41 @@ def test_train_state_checkpoint_on_mesh(tmp_path):
     assert float(loss2) == float(ref_loss)
     for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_tp_forward_matches_single_device():
+    """Int8 TP (VERDICT r2 #7): the quant pytree Megatron-shards over
+    'model' (int8 kernels split like float ones, scales follow the output
+    dim) and the XLA quant forward matches the single-device result."""
+    from vit_tpu.quant import forward_quant, quantize_params
+
+    mesh = make_mesh(data=2, model=4)
+    params = vit.init_params(jax.random.key(0), TINY)
+    qparams = quantize_params(params)
+    qsh = param_shardings(qparams, mesh, TINY)
+    # Quantized kernels got the dict-shaped rule.
+    assert set(qsh["encoder"]["qkv"]["kernel"]) == {"q", "scale"}
+    qparams_sharded = jax.device_put(qparams, qsh)
+    rng = np.random.default_rng(0)
+    px = jax.device_put(
+        jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32),
+        batch_sharding(mesh))
+    sharded = jax.jit(lambda p, x: forward_quant(p, x, TINY, impl="xla"))(
+        qparams_sharded, px)
+    local = forward_quant(jax.device_get(qparams), jax.device_get(px), TINY,
+                          impl="xla")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               atol=1e-4)
+
+
+def test_int8_tp_predictor_serves_on_mesh():
+    from vit_tpu.serving import Predictor
+
+    mesh = make_mesh(data=2, model=4)
+    params = vit.init_params(jax.random.key(0), TINY)
+    pred = Predictor(params, TINY, buckets=(2, 4), impl="xla", mesh=mesh,
+                     quant=True)
+    rng = np.random.default_rng(0)
+    out = pred(jnp.asarray(rng.standard_normal((5, 3, 32, 32)), jnp.float32))
+    assert out.shape == (5, TINY.num_classes)
+    assert np.all(np.isfinite(np.asarray(out)))

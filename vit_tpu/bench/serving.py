@@ -154,7 +154,13 @@ def main(argv=None):
         f"{bucket_warm_ms:.1f} ms warm vs naive-jit first call "
         f"{naive_ms:.1f} ms ({naive_ms / bucket_warm_ms:.0f}x warm)")
 
-    # 2. Steady-state mixed trace throughput.
+    # 2. Steady-state mixed trace throughput. Since round 3 each request is
+    # ONE fused dispatch (Predictor plan executors), so the trace costs
+    # len(TRACE) round trips, not one per bucket chunk. Warm each plan's
+    # executor first (compile is a one-time cost the recompile probe above
+    # already characterizes).
+    for n in sorted(set(TRACE)):
+        np.asarray(pred(pool[:n]))
     n_img = sum(TRACE)
     times = []
     for _ in range(args.repeats):
@@ -165,9 +171,23 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     trace_s = float(np.median(times))
     ips = n_img / trace_s
+    # The platform's fixed per-round-trip cost: median wall time of a
+    # trivial synced call. The trace pays ~1 of these per request (fused
+    # dispatch) + 1 final sync; rpc_floor_ms x requests is the harness/
+    # platform floor no serving-layer change can go below.
+    noop = jax.jit(lambda v: v + 1)
+    np.asarray(noop(jnp.float32(0)))
+    floor = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(noop(jnp.float32(0)))
+        floor.append(time.perf_counter() - t0)
+    rpc_floor_ms = float(np.median(floor)) * 1e3
     log(f"mixed trace ({len(TRACE)} requests, {n_img} imgs): "
         f"{trace_s * 1e3:.1f} ms median -> {ips:.0f} img/s end-to-end "
-        f"(incl. host orchestration + RPC)")
+        f"(incl. host orchestration + RPC; platform round-trip floor "
+        f"{rpc_floor_ms:.1f} ms/call x {len(TRACE)} requests = "
+        f"{rpc_floor_ms * len(TRACE):.0f} ms of the total)")
 
     rows = [{
         "metric": "mixed_trace", "quant": int(args.quant),
@@ -178,6 +198,8 @@ def main(argv=None):
         "unseen_bucketed_warm_ms": round(bucket_warm_ms, 2),
         "unseen_naive_jit_ms": round(naive_ms, 2),
         "warm_all_buckets_s": round(warm_s, 2),
+        "rpc_floor_ms_per_call": round(rpc_floor_ms, 2),
+        "rpc_floor_trace_ms": round(rpc_floor_ms * len(TRACE), 1),
     }]
     write_perf_report("serving", rows, x_key="requests",
                       y_keys=["img_per_s"], y_label="img/s",

@@ -48,7 +48,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def param_shardings(params: Params, mesh: Mesh, cfg: ViTConfig) -> Params:
-    """NamedSharding pytree matching ``params`` (Megatron TP over 'model')."""
+    """NamedSharding pytree matching ``params`` (Megatron TP over 'model').
+
+    Works for the float pytree AND the int8 tier's
+    (:func:`vit_tpu.quant.quantize_params`): a quantized ``kernel`` is
+    ``{"q": int8 (L,K,N), "scale": fp32 (L,N)}`` — ``q`` takes the float
+    kernel's split, and the per-OUTPUT-channel scale follows the output
+    dim: sharded with the columns for column-parallel kernels (qkv, fc1),
+    replicated for row-parallel ones (out, fc2) whose outputs are summed
+    across shards.
+    """
     model = mesh.shape["model"]
     if model > 1:
         assert cfg.num_heads % model == 0, (cfg.num_heads, model)
@@ -66,10 +75,20 @@ def param_shardings(params: Params, mesh: Mesh, cfg: ViTConfig) -> Params:
         "ln1": {"scale": ns(None, None), "bias": ns(None, None)},
         "ln2": {"scale": ns(None, None), "bias": ns(None, None)},
     }
+    # Per-output-channel quant scales (L, N): split iff the output dim is.
+    scale_rules = {"qkv": ns(None, "model"), "fc1": ns(None, "model"),
+                   "out": ns(None, None), "fc2": ns(None, None)}
+
+    def kernel_rule(name, leaf):
+        if isinstance(leaf, dict):  # int8: {"q": ..., "scale": ...}
+            return {"q": rules[name]["kernel"], "scale": scale_rules[name]}
+        return rules[name]["kernel"]
 
     shardings: Params = {
         "embeddings": jax.tree.map(lambda _: ns(), params["embeddings"]),
-        "encoder": {k: {kk: rules[k][kk] for kk in params["encoder"][k]}
+        "encoder": {k: {kk: (kernel_rule(k, params["encoder"][k][kk])
+                             if kk == "kernel" else rules[k][kk])
+                        for kk in params["encoder"][k]}
                     for k in params["encoder"]},
         "ln_final": jax.tree.map(lambda _: ns(), params["ln_final"]),
     }

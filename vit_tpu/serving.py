@@ -60,9 +60,10 @@ class Predictor:
 
         if quant:
             # Int8 tier (vit_tpu/quant.py): quantize once at construction,
-            # serve the quantized pytree. Multi-chip fan-out is batch-DP
-            # with replicated params (int8 weights are TP-splittable in
-            # principle, but param_shardings' specs describe float kernels).
+            # serve the quantized pytree. On a mesh the XLA tier shards it
+            # like the float rules (param_shardings understands quantized
+            # kernels: int8 weights Megatron-split, scales follow the
+            # output dim); the pallas tier stays batch-DP-only.
             from vit_tpu.quant import forward_quant, quantize_params
             params = quantize_params(params)
 
@@ -72,6 +73,8 @@ class Predictor:
             def fwd(p, x):
                 return forward(p, x, cfg, impl=impl, attention=attention)
 
+        self._raw_fwd = fwd
+        self._plan_fns: dict = {}
         if mesh is None:
             self.buckets = tuple(sorted(set(buckets)))
             self.params = params
@@ -83,9 +86,9 @@ class Predictor:
             data = mesh.shape["data"]
             self.buckets = tuple(sorted({-(-b // data) * data
                                          for b in buckets}))
-            if quant:
-                assert mesh.shape["model"] == 1, (
-                    "quant serving shards the batch only")
+            if quant and resolve_impl(impl) == "pallas":
+                # The int8 mega-kernels run per-chip under shard_map:
+                # batch-DP with replicated params (no TP for this tier).
                 self.params = jax.device_put(params, replicate(mesh))
             else:
                 self.params = jax.device_put(
@@ -95,8 +98,8 @@ class Predictor:
                 # Pallas kernels (float AND int8 mega-kernels) have no GSPMD
                 # partitioning rules — shard the batch explicitly so each
                 # chip runs the single-device program on its shard (no
-                # collectives needed for inference). Quant params are
-                # replicated, so their in_spec is P() like float params.
+                # collectives needed for inference). Params are replicated
+                # on this path, so their in_spec is P().
                 assert mesh.shape["model"] == 1, (
                     "pallas serving shards the batch only; use impl='xla' "
                     "for tensor parallelism")
@@ -124,10 +127,68 @@ class Predictor:
             plan.append(min(b for b in self.buckets if b >= rest))
         return plan
 
+    def _plan_executor(self, sig: tuple[int, ...]):
+        """ONE jitted executable for a whole bucket plan: each group of
+        same-size chunks runs under ``lax.map`` (the per-bucket program is
+        traced once and iterated), groups run back to back, and the results
+        come back concatenated. A request is then a single dispatch instead
+        of one per chunk — on this platform's tunneled runtime, where every
+        synced call costs ~25 ms of RPC, that is the difference between
+        RPC-bound and compute-bound serving. The padded input buffer is
+        donated: the caller-visible array is always framework-owned (see
+        ``__call__``), and XLA reuses its pages for activations."""
+        groups: list[list[int]] = []
+        for b in sig:
+            if groups and groups[-1][0] == b:
+                groups[-1][1] += 1
+            else:
+                groups.append([b, 1])
+        raw = self._raw_fwd
+
+        def run(params, padded):
+            outs, off = [], 0
+            for b, k in groups:
+                seg = jax.lax.slice_in_dim(padded, off, off + k * b)
+                if k == 1:
+                    res = raw(params, seg)
+                else:
+                    seg = seg.reshape(k, b, *padded.shape[1:])
+                    res = jax.lax.map(lambda ch: raw(params, ch), seg)
+                    res = res.reshape(k * b, *res.shape[2:])
+                outs.append(res)
+                off += k * b
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+        # Donation is a no-op (plus a warning) on backends without buffer
+        # aliasing (CPU interpret-mode tests) — only donate where it lands.
+        donate = (1,) if jax.default_backend() == "tpu" else ()
+        return jax.jit(run, donate_argnums=donate)
+
     def __call__(self, images) -> jax.Array:
+        given = images
         images = jnp.asarray(images, self.cfg.dtype)
         n = images.shape[0]
         assert n > 0, "empty batch"
+
+        if self._in_sharding is None:
+            plan = tuple(self._plan(n))
+            fn = self._plan_fns.get(plan)
+            if fn is None:
+                fn = self._plan_fns[plan] = self._plan_executor(plan)
+            total = sum(plan)
+            if total > n:
+                pad = jnp.zeros((total - n, *images.shape[1:]),
+                                self.cfg.dtype)
+                images = jnp.concatenate([images, pad], axis=0)
+            elif images is given:
+                # The executor donates its input; never donate a buffer the
+                # caller still owns. One async HBM copy (~µs) buys safety.
+                images = jnp.copy(images)
+            out = fn(self.params, images)
+            return out if total == n else out[:n]
+
+        # Mesh path: per-bucket dispatch (shard_map/GSPMD executables keep
+        # their own input shardings; chunks go out explicitly sharded).
         outs, off = [], 0
         for b in self._plan(n):
             take = min(b, n - off)
@@ -135,8 +196,7 @@ class Predictor:
             if take < b:  # pad the tail bucket
                 pad = jnp.zeros((b - take, *images.shape[1:]), self.cfg.dtype)
                 chunk = jnp.concatenate([chunk, pad], axis=0)
-            if self._in_sharding is not None:
-                chunk = jax.device_put(chunk, self._in_sharding)
+            chunk = jax.device_put(chunk, self._in_sharding)
             outs.append(self._fn(self.params, chunk)[:take])
             off += take
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
