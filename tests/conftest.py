@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "test_one_sided_mega_routing",
     "test_ops_matmul_pallas_dispatch_is_differentiable",
     "test_pallas_b16_geometry_jit",
+    "test_quant_accuracy_report_flip_rate_and_smoothquant_win",
     "test_quant_predictor_mesh_pallas_mega_kernels",
     "test_sharded_orbax_roundtrip",
     "test_smooth_params_is_float_identity_and_helps_int8",

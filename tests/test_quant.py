@@ -391,3 +391,24 @@ def test_forward_quant_bf16(rng):
     assert np.isfinite(got).all()
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 6e-2, rel
+
+
+def test_quant_accuracy_report_flip_rate_and_smoothquant_win():
+    """Task-level int8 accuracy (VERDICT r2 #5): on the tiny synthetic
+    model with a classifier head, the full int8 tier keeps top-1 agreement
+    with the float model >= 95% on plain weights, and on the outlier-
+    channel stress case SmoothQuant measurably beats plain w8a8 (lower
+    hidden error, no worse top-1 agreement). Full-size B/16 numbers:
+    tools/quant_accuracy.py + docs/QUANT.md."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.quant_accuracy import main as qacc_main
+
+    rows = qacc_main(["--tiny", "--batch", "16", "--classes", "64"])
+    by = {(r["case"].split()[0], r["tier"]): r for r in rows}
+    assert by[("plain", "w8a8")]["top1_agreement"] >= 0.95
+    assert by[("plain", "w8a8")]["hidden_rel_err"] < 0.03
+    stress, smooth = by[("outlier", "w8a8")], by[("outlier", "w8a8+smooth")]
+    assert smooth["hidden_rel_err"] < stress["hidden_rel_err"]
+    assert smooth["top1_agreement"] >= stress["top1_agreement"]
