@@ -36,6 +36,24 @@ REFERENCE_MS = {
 
 BATCH_SWEEP = [1, 2, 4, 8, 16, 24, 32, 48, 64]
 
+#: v5e per-chip peak, dense (TF/s or TOPS). bf16/int8 are the MXU's two
+#: rates; fp32 runs as multi-pass bf16 (~1/4 rate, not a hardware spec
+#: line) so no MFU is claimed for it.
+V5E_PEAK = {"bfloat16": 197.0, "int8": 394.0}
+
+
+def forward_tflops(cfg, batch: int) -> float:
+    """Per-forward useful work in TFLOP, 2*MAC, PADDED-shape convention
+    (tokens rounded to the sublane multiple the kernels actually compute,
+    e.g. 197->208 — same convention as docs/PERF.md §1; unpadded MFU is
+    ~5% lower for B/16)."""
+    from vit_tpu.ops.pallas.common import round_up
+    sp = round_up(cfg.seq_len, 16)
+    m, d, mlp = batch * sp, cfg.hidden_dim, cfg.mlp_dim
+    per_layer = 8 * m * d * d + 4 * m * sp * d + 4 * m * d * mlp
+    embed = 2 * m * cfg.patch_dim * d
+    return (cfg.num_layers * per_layer + embed) / 1e12
+
 
 def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
           impl: str | None = None, attention: str = "flash",
@@ -58,8 +76,17 @@ def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
             return jnp.mean(out).astype(jnp.float32)
 
         ms = bench_chained(step, reps=reps, args=(params, px))
+        tf = forward_tflops(cfg, b) / (ms / 1e3)
         row = {"batch": b, "tpu_ms": round(ms, 3),
-               "tpu_img_per_s": round(b / (ms / 1e3), 1)}
+               "tpu_img_per_s": round(b / (ms / 1e3), 1),
+               "tflops_padded": round(tf, 1)}
+        # MFU only where a single hardware peak applies: the bf16 tier vs
+        # the 197 TF/s v5e bf16 peak. The int8 tier is mixed-precision
+        # (int8 projections + float attention core/LN), so a single-peak
+        # MFU would mislead — its tflops_padded column stands alone.
+        if not quant and dtype == jnp.bfloat16 \
+                and jax.devices()[0].platform == "tpu":
+            row["mfu_pct"] = round(100 * tf / V5E_PEAK["bfloat16"], 1)
         row.update(REFERENCE_MS.get(b, {}))
         rows.append(row)
         print(row, flush=True)
