@@ -154,6 +154,45 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 ctx, l = ctx1[:, :head_dim], ctx1[:, head_dim:]
                 parts.append((ctx / l).astype(x_ref.dtype))
             ctx_all = jnp.concatenate(parts, axis=1)
+        elif mode == "qcore":
+            # Int8 score/context dots (the VERDICT-r2 alternative): q and
+            # the softmax probabilities quantized per ROW (max-abs/127,
+            # lane-broadcast rescale — cheap), k and v per HEAD (scalar
+            # scale, no (sp,1)->(1,sp) relayout needed). s8xs8->s32 runs
+            # at 2x the bf16 MXU rate; the softmax stays fp32. Exact-ish
+            # math (a quant-tier candidate, not a bf16-tier one).
+            parts = []
+            for h in range(num_heads):
+                hs = slice(h * head_dim, (h + 1) * head_dim)
+                qh = q_all[:, hs].astype(jnp.float32)
+                kh = k_all[:, hs].astype(jnp.float32)
+                vh = v_all[:, hs].astype(jnp.float32)
+                aq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1,
+                                         keepdims=True), 1e-12) / 127.0
+                ak = jnp.maximum(jnp.max(jnp.abs(kh)), 1e-12) / 127.0
+                av = jnp.maximum(jnp.max(jnp.abs(vh)), 1e-12) / 127.0
+                qq = jnp.round(qh / aq).astype(jnp.int8)
+                kq = jnp.round(kh / ak).astype(jnp.int8)
+                vq = jnp.round(vh / av).astype(jnp.int8)
+                s32 = jax.lax.dot_general(
+                    qq, kq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                s = s32.astype(jnp.float32) * (aq * (ak * scale))
+                if seq_len != sp:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < seq_len, s, float("-inf"))
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                ap = jnp.maximum(jnp.max(p, axis=-1, keepdims=True),
+                                 1e-12) / 127.0
+                pq = jnp.round(p / ap).astype(jnp.int8)
+                c32 = jax.lax.dot_general(
+                    pq, vq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                ctx = c32.astype(jnp.float32) * (ap * av)
+                parts.append((ctx / l).astype(x_ref.dtype))
+            ctx_all = jnp.concatenate(parts, axis=1)
         elif mode == "kt":
             # K produced transposed: ONE dims-((0),(1)) dot makes kT (d, sp)
             # head-major in rows, so every score dot below is a NATURAL
@@ -163,7 +202,9 @@ def _core_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
             kT = jax.lax.dot_general(
                 wqkv_ref[:, kcols], xn, (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
-            kT = (kT + bqkv_ref[0, kcols][:, None].astype(jnp.float32)
+            # (1,d)->(d,1) relayout is only supported for 32-bit types
+            # on Mosaic: go through fp32 BEFORE the column reshape.
+            kT = (kT + bqkv_ref[0, kcols].astype(jnp.float32)[:, None]
                   ).astype(x_ref.dtype)
             parts = []
             for h in range(num_heads):
@@ -262,7 +303,7 @@ def _tcore_body(xn32, wqkvT_ref, bqkv_ref, woutT_ref, *, d, sp, num_heads,
         zT = jax.lax.dot_general(
             wqkvT_ref[rows_w, :], xnT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        zT = zT + bqkv_ref[0, rows_w][:, None].astype(jnp.float32)
+        zT = zT + bqkv_ref[0, rows_w].astype(jnp.float32)[:, None]
         projT.append(zT.astype(cdtype))
     qT, kT, vT = projT
 
@@ -314,9 +355,9 @@ def _xcore_kernel(x_ref, g_ref, b_ref, wqkvT_ref, bqkv_ref, woutT_ref,
     """`xcore`: the whole block consumes and produces (d, m) transposed
     activations — zero in-kernel transposes (upper bound for a
     transposed-activation model layout)."""
-    gcol = g_ref[0, :][:, None].astype(jnp.float32)
-    bcol = b_ref[0, :][:, None].astype(jnp.float32)
-    bout_col = bout_ref[0, :][:, None].astype(jnp.float32)
+    gcol = g_ref[0, :].astype(jnp.float32)[:, None]
+    bcol = b_ref[0, :].astype(jnp.float32)[:, None]
+    bout_col = bout_ref[0, :].astype(jnp.float32)[:, None]
     for g in range(group):
         cols = slice(g * sp, (g + 1) * sp)
         x32 = x_ref[:, cols].astype(jnp.float32)           # (d, sp)

@@ -551,7 +551,12 @@ def main():
                     log(f"  -> winner ({best['group']},{best['ct']}) "
                         f"{best['tflops']:.1f} TF/s beats pair "
                         f"{layer_ms:.4f} ms")
-            if b <= 2 and args.op != "layer":
+            if b <= 4 and args.op != "layer":
+                # b=3/4 sweeps exist to bisect the Mosaic scheduling cliff
+                # that gates encoder_stack_plan to b<=2 (PERF.md §3): every
+                # candidate (cq, mt) is measured, and an entry records ONLY
+                # on a genuine win over the tuned per-layer pair, so a
+                # collapsed config can never capture routing.
                 log(f"[encstack {args.dtype}] b={b} sp={sp}")
                 rows = sweep_encstack(b, sp, cfg, dtype)
                 if rows:
