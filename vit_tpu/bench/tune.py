@@ -401,7 +401,9 @@ def main():
                     choices=["matmul", "flash", "block", "layer", "all"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--batches", type=int, nargs="+", default=[32])
+    ap.add_argument("--batches", type=int, nargs="*", default=[32],
+                    help="model batch sizes to tune (empty list = only "
+                         "--squares shapes)")
     ap.add_argument("--limit", type=int, default=10,
                     help="max matmul configs per shape")
     ap.add_argument("--squares", type=int, nargs="*", default=[],

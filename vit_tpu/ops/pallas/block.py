@@ -1348,7 +1348,10 @@ def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=28 * 2**20),
+            # Probe knob for the b>=3 scheduling-collapse bisect
+            # (tools/encstack_probe.py); 28 MB is the measured-safe default.
+            vmem_limit_bytes=int(os.environ.get(
+                "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=L * (2 * m * d * 4 * d + 4 * m * sp * d
                        + 4 * m * d * mlp),
@@ -1550,7 +1553,10 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=28 * 2**20),
+            # Probe knob for the b>=3 scheduling-collapse bisect
+            # (tools/encstack_probe.py); 28 MB is the measured-safe default.
+            vmem_limit_bytes=int(os.environ.get(
+                "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=L * (2 * m * d * 4 * d + 4 * m * sp * d
                        + 4 * m * d * mlp),
