@@ -27,11 +27,13 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
@@ -92,10 +94,16 @@ def main():
             resolved = encoder_stack_plan(b, sp, args.d, args.mlp,
                                           args.heads, it)
             if resolved is None:
-                # The b>2 gate blocks the heuristic — force the b<=2 winner.
-                os.environ["VIT_TPU_STACK_PLAN"] = plan or "768,768"
-                resolved = encoder_stack_plan(b, sp, args.d, args.mlp,
-                                              args.heads, it)
+                # The b>2 gate blocks the heuristic — force a plan, preferring
+                # the b<=2 winner but falling back to smaller tiles that fit
+                # the VMEM budget at this m.
+                for cand in ([plan] if plan else []) + ["768,768", "384,512",
+                                                        "384,256", "128,256"]:
+                    os.environ["VIT_TPU_STACK_PLAN"] = cand
+                    resolved = encoder_stack_plan(b, sp, args.d, args.mlp,
+                                                  args.heads, it)
+                    if resolved is not None:
+                        break
             if resolved is None:
                 print(f"b={b} sp={sp} plan={plan}: INFEASIBLE", flush=True)
                 continue
