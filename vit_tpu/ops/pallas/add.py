@@ -77,10 +77,16 @@ if __name__ == "__main__":
             b = jnp.asarray(rng.standard_normal((args.B, n, args.D)), dt)
 
             # Operands as jit ARGUMENTS, not closure constants (closure
-            # capture inflates tunneled measurements ~1.7x).
+            # capture inflates tunneled measurements ~1.7x). The output
+            # passes through an optimization_barrier before the reducing
+            # carry: without it XLA fuses add+mean and never writes the
+            # (B,N,D) result to HBM (measured >1 TB/s "bandwidth", above
+            # the v5e's ~819 GB/s peak), while the Pallas kernel always
+            # materializes — not a like-for-like memory workload.
             def mk(fn):
                 def step(c, a, b):
                     out = fn(a * (1 + c * 1e-30).astype(dt), b)
+                    out = jax.lax.optimization_barrier(out)
                     return jnp.mean(out).astype(jnp.float32)
                 return step
 
