@@ -28,6 +28,6 @@ Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
 
 from vit_tpu.config import ViTConfig, VARIANTS
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = ["ViTConfig", "VARIANTS", "__version__"]
