@@ -1257,14 +1257,20 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
         if plan is not None:
             return plan
     from vit_tpu.ops.dispatch import interpret_mode
-    if (b > 2 or itemsize != 2) and not interpret_mode():
+    if ((b > 2 or itemsize != 2 or (d, mlp) != (768, 3072))
+            and not interpret_mode()):
         # Measured cliffs on v5e (Mosaic-compiled only — the interpreter is
-        # unaffected): b=3 runs at ~420us/layer vs b=2's 47, and the fp32
+        # unaffected): b=3 runs at ~420us/layer vs b=2's 47, the fp32
         # stack at bs=1 hits 8.0 ms vs 1.4 for the per-layer kernels (same
-        # plans, same code) — an unexplained Mosaic scheduling collapse.
-        # Without a tuned entry proving otherwise the heuristic serves only
-        # b<=2 bf16 on hardware; everything else falls back to the
-        # per-layer mega-kernels.
+        # plans, same code), and H/14 (d=1280, mlp=5120) at b=1 hit 36 ms
+        # vs ~8 expected on a heuristic plan in the round-3 variant matrix
+        # — a Mosaic scheduling collapse whose trigger the
+        # tools/encstack_probe.py bisect has not yet isolated (not VMEM
+        # pressure: it reproduces far below the budget). Without a tuned
+        # entry proving otherwise, the untuned heuristic serves only the
+        # geometry+batch class it was measured safe on (b<=2 bf16,
+        # d=768/mlp=3072); everything else falls back to the per-layer
+        # mega-kernels.
         return None
     # Measured ordering on v5e (bs=1 bf16 B/16): cq=d beats both the
     # single-chunk 3d (worse DMA/compute interleave: 0.375 vs 0.320 ms)

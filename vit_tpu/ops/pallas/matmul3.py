@@ -91,7 +91,12 @@ def matmul3(x: jax.Array, y: jax.Array, *, scale: float | None = None,
         # Whole per-batch product fits one tile: group batches per step.
         it = x.dtype.itemsize
         per_b = ((mp * kp + kp * n + mp * n) * it) * 2 + mp * n * 4
-        group = max(1, min(b, (4 * 2**20) // max(per_b, 1), 16))
+        # bf16 affords the same ~10MB live-VMEM region the matmul tuner
+        # proved safe on v5e; fp32 keeps the conservative cap (compile-hang
+        # risk near the ceiling). At S=512 this lifts group 1 -> 3 and the
+        # step-bound sweep rows with it (PERF.md 4b).
+        cap = (10 * 2**20) if it <= 2 else (4 * 2**20)
+        group = max(1, min(b, cap // max(per_b, 1), 16))
         while b % group:
             group -= 1
         kernel = functools.partial(
