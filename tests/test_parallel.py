@@ -149,6 +149,68 @@ def test_int8_tp_forward_matches_single_device():
                                atol=1e-4)
 
 
+def test_tp_pallas_forward_matches_single_device():
+    """Float TP on the pallas tier (round-3): Megatron partial-sum blocks +
+    one psum per half under shard_map must match the single-device forward.
+    TINY's widths don't tile the kernels, so this exercises the composed
+    partial fallback — same decomposition, same collectives."""
+    from vit_tpu.parallel import make_tp_forward, prepare_tp_params
+
+    mesh = make_mesh(data=2, model=4)
+    params = vit.init_params(jax.random.key(0), TINY)
+    tp_params = prepare_tp_params(params, TINY, mesh)
+    fn = make_tp_forward(TINY, mesh)
+    rng = np.random.default_rng(0)
+    px = jax.device_put(
+        jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32),
+        batch_sharding(mesh))
+    sharded = fn(tp_params, px)
+    local = vit.forward(params, jax.device_get(px), TINY, impl="xla")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               atol=1e-5)
+
+
+def test_tp_pallas_kernel_path_matches():
+    """Same, on a geometry whose LOCAL widths tile the mega-kernels
+    (d=256, 2 local heads -> dl=128, mlp_l=256): the partial-sum Pallas
+    kernels themselves run (interpret mode on CPU), not the fallback."""
+    from vit_tpu.ops.pallas import block as blk
+    from vit_tpu.parallel import make_tp_forward, prepare_tp_params
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=256, num_heads=4,
+                    num_layers=2, mlp_dim=512, num_classes=8)
+    mesh = make_mesh(data=4, model=2)
+    b_shard, sp = 1, 16
+    assert blk.attn_block_partial_plan(b_shard, sp, 256, 128, 4) is not None
+    assert blk.mlp_block_plan(b_shard * sp, 256, 256, 4) is not None
+
+    params = vit.init_params(jax.random.key(1), cfg)
+    tp_params = prepare_tp_params(params, cfg, mesh)
+    fn = make_tp_forward(cfg, mesh)
+    rng = np.random.default_rng(1)
+    px = jax.device_put(
+        jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32),
+        batch_sharding(mesh))
+    sharded = fn(tp_params, px)
+    local = vit.forward(params, jax.device_get(px), cfg, impl="xla")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               atol=2e-5)
+
+
+def test_tp_pallas_predictor_serves_on_mesh():
+    from vit_tpu.serving import Predictor
+
+    mesh = make_mesh(data=2, model=4)
+    params = vit.init_params(jax.random.key(0), TINY)
+    pred = Predictor(params, TINY, buckets=(2, 4), impl="pallas", mesh=mesh)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((5, 3, 32, 32)), jnp.float32)
+    out = pred(px)
+    assert out.shape == (5, TINY.num_classes)
+    local = vit.forward(params, px, TINY, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(local), atol=1e-5)
+
+
 def test_int8_tp_predictor_serves_on_mesh():
     from vit_tpu.serving import Predictor
 

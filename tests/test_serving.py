@@ -62,12 +62,15 @@ def test_mesh_serving_matches_single_device(pred, rng, data, model, impl):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_mesh_serving_pallas_rejects_tp(pred):
+def test_mesh_serving_pallas_quant_rejects_tp(pred):
+    # Float pallas TP is served via tp_pallas (tests/test_parallel.py);
+    # the INT8 mega-kernels remain batch-DP-only on this tier.
     from vit_tpu.parallel import make_mesh
 
     mesh = make_mesh(data=4, model=2)
     with pytest.raises(AssertionError, match="batch only"):
-        Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl="pallas")
+        Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl="pallas",
+                  quant=True)
 
 
 def test_padding_images_do_not_leak(pred, rng):

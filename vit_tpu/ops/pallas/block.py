@@ -48,13 +48,18 @@ _VMEM_BUDGET = 22 * 2**20  # measured: ~32+ MB usable on v5e (probe: 2x16MB
 
 def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, xn_ref, acc_ref, *, eps: float, d: int, nt: int,
-                nc: int, ct: int, precision):
+                nc: int, ct: int, precision, partial: bool = False):
     """One (bm, D) row-block through LN -> fc1 -> gelu -> fc2 -> +x.
 
     Grid (nm, nt): t streams mlp_dim tiles of w1/w2 (nt == 1 keeps both
     weights fully resident — the B/16 bf16 case). Within a t step the
     hidden is produced in ``nc`` chunks of ``ct`` columns so the fp32
     intermediate stays (bm, ct) instead of (bm, mlp_dim).
+
+    ``partial=True`` is the tensor-parallel form: w1/w2 hold this shard's
+    mlp-column slice, the accumulator seeds ZERO (no residual, no b2 —
+    both must be added exactly once, after the cross-shard psum), and the
+    output is a partial sum to be ``lax.psum``-ed over the 'model' axis.
     """
     t = pl.program_id(1)
 
@@ -67,8 +72,10 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         xn = (xn * g_ref[:].astype(jnp.float32)
               + b_ref[:].astype(jnp.float32))
         xn_ref[:] = xn.astype(xn_ref.dtype)
-        # Residual and final bias seed the accumulator.
-        acc_ref[:] = x32 + b2_ref[:].astype(jnp.float32)
+        # Residual and final bias seed the accumulator (zero on the TP
+        # partial path — they are added post-psum by the caller).
+        acc_ref[:] = (jnp.zeros_like(x32) if partial
+                      else x32 + b2_ref[:].astype(jnp.float32))
 
     xn = xn_ref[:]
     for c in range(nc):
@@ -182,11 +189,17 @@ def mlp_block_plan(m: int, d: int, mlp: int, itemsize: int,
 
 def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
               w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
-              *, eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+              *, eps: float = 1e-12, interpret: bool = False,
+              partial_out: bool = False) -> jax.Array:
     """``x + fc2(gelu(fc1(LN(x))))`` in one Pallas pass (see module doc).
 
     ``x``: (..., D); ``w1``: (D, mlp); ``w2``: (mlp, D). Requires a plan
     from :func:`mlp_block_plan` (caller gates on it).
+
+    ``partial_out=True``: tensor-parallel shard form — w1/w2 are this
+    shard's mlp-column slice and the result is ``fc2_shard(gelu(
+    fc1_shard(LN(x))))`` WITHOUT residual or b2 (see
+    :mod:`vit_tpu.parallel.tp_pallas`); ``b2`` is ignored.
     """
     *lead, d = x.shape
     mlp = w1.shape[1]
@@ -200,7 +213,8 @@ def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     nc = mt // ct
 
     kernel = functools.partial(_mlp_kernel, eps=eps, d=d, nt=nt, nc=nc,
-                               ct=ct, precision=_dot_precision(x.dtype))
+                               ct=ct, precision=_dot_precision(x.dtype),
+                               partial=partial_out)
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(m, bm), nt),
@@ -494,16 +508,25 @@ def _ln32(x32, g_ref, b_ref, eps):
 
 def _attn_core(x32, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, *,
                eps, d, sp, num_heads, head_dim, scale, seq_len, precision,
-               cdtype):
+               cdtype, dl=None, partial=False):
     """fp32 ``x32 + proj(MHA(LN(x32)))`` for one (sp, D) batch segment —
     the shared body of :func:`_attn_kernel` and :func:`_layer_kernel`.
-    ``cdtype`` is the compute/storage dtype for the bf16-able temps."""
+    ``cdtype`` is the compute/storage dtype for the bf16-able temps.
+
+    ``dl``/``partial`` select the tensor-parallel shard form
+    (:func:`attn_block_partial`): wqkv_ref is (d, 3*dl) holding this
+    shard's ``num_heads`` (LOCAL count) head columns, wout_ref is (dl, d),
+    and the result is the shard's output-projection PARTIAL SUM — no
+    residual, no output bias (both added once post-psum; bout_ref unused).
+    """
+    if dl is None:
+        dl = d
     xn = _ln32(x32, g_ref, b_ref, eps).astype(cdtype)
 
-    # QKV one projection at a time: caps the fp32 temp at (sp, D).
+    # QKV one projection at a time: caps the fp32 temp at (sp, dl).
     proj = []
     for p_i in range(3):
-        cols = slice(p_i * d, (p_i + 1) * d)
+        cols = slice(p_i * dl, (p_i + 1) * dl)
         z = jax.lax.dot_general(
             xn, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
@@ -533,6 +556,8 @@ def _attn_core(x32, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, *,
     out = jax.lax.dot_general(
         ctx_all, wout_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
+    if partial:
+        return out
     return out + bout_ref[:].astype(jnp.float32) + x32
 
 
@@ -802,6 +827,113 @@ def _attn_block_wstream(xf, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *,
         interpret=interpret,
     )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+
+
+# ------------------------------------- tensor-parallel attention partial --
+
+def _attn_partial_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         o_ref, *, eps: float, d: int, dl: int, sp: int,
+                         num_heads: int, head_dim: int, scale: float,
+                         seq_len: int, group: int, precision):
+    """Tensor-parallel shard form of :func:`_attn_kernel`: this shard's
+    ``num_heads`` (LOCAL) heads through LN -> QKV_shard -> MHA ->
+    proj_shard, emitting the output-projection PARTIAL SUM (no residual,
+    no output bias — the caller adds both once after the cross-shard
+    ``lax.psum``; see :mod:`vit_tpu.parallel.tp_pallas`)."""
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        out = _attn_core(
+            x_ref[rows, :].astype(jnp.float32), g_ref, b_ref, wqkv_ref,
+            bqkv_ref, wout_ref, None, eps=eps, d=d, dl=dl, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype,
+            partial=True)
+        o_ref[rows, :] = out.astype(o_ref.dtype)
+
+
+def attn_block_partial_plan(b: int, sp: int, d: int, dl: int, itemsize: int,
+                            budget: int = _VMEM_BUDGET):
+    """``{"group": g}`` plan for :func:`attn_block_partial`, or None.
+
+    All weights stay resident (they are 1/shards of the full layer's, so
+    any geometry whose full-weight mstream plan fits trivially fits here);
+    ``dl`` must be lane-aligned so the per-head column slices tile."""
+    if d % 128 or dl % 128 or sp % 8:
+        return None
+    w = (d * 3 * dl + dl * d) * itemsize
+    per_batch = (2 * 2 * sp * d * itemsize          # x + out dbuf
+                 + sp * dl * (4 + 3 * itemsize)     # fp32 z + q/k/v
+                 + sp * sp * 4 * 2                  # scores + probs fp32
+                 + sp * dl * 4)                     # ctx fp32
+    if w + per_batch > budget:
+        return None
+    group = b
+    while b % group or w + group * per_batch > budget:
+        group -= 1
+    return {"group": group}
+
+
+def attn_block_partial(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                       wqkv: jax.Array, bqkv: jax.Array, wout: jax.Array, *,
+                       num_heads: int, scale: float | None = None,
+                       seq_len: int | None = None, eps: float = 1e-12,
+                       interpret: bool = False) -> jax.Array:
+    """``proj_shard(MHA_shard(LN(x)))`` — one TP shard's attention half.
+
+    ``x``: (B, S, D) replicated over the 'model' axis; ``wqkv``:
+    (D, 3*dl) packed ``[q_s|k_s|v_s]`` where ``dl = num_heads * head_dim``
+    counts only this shard's heads (head-major repacking is done by
+    :func:`vit_tpu.parallel.tp_pallas.shard_encoder_tp`); ``wout``:
+    (dl, D). Returns the partial sum to ``lax.psum`` over 'model'; the
+    residual and output bias are NOT included (add once post-psum).
+    """
+    b, sp, d = x.shape
+    dl = wqkv.shape[1] // 3
+    hd = dl // num_heads
+    assert wqkv.shape == (d, 3 * dl) and wout.shape == (dl, d), (
+        wqkv.shape, wout.shape)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    plan = attn_block_partial_plan(b, sp, d, dl, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, dl, x.dtype)
+    group = plan["group"]
+    xf = x.reshape(b * sp, d)
+
+    kernel = functools.partial(
+        _attn_partial_kernel, eps=eps, d=d, dl=dl, sp=sp,
+        num_heads=num_heads, head_dim=hd, scale=scale, seq_len=seq_len,
+        group=group, precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                            # x
+            vec(d), vec(d),                                 # ln scale/bias
+            pl.BlockSpec((d, 3 * dl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wqkv shard
+            vec(3 * dl),                                    # bqkv shard
+            pl.BlockSpec((dl, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wout shard
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=29 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * dl + 4 * b * sp * sp * dl,
+            bytes_accessed=(2 * b * sp * d + 4 * d * dl) * x.dtype.itemsize,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * dl), wout)
+    return out.reshape(b, sp, d)
 
 
 # ----------------------------------------------- int8-dot attention block --

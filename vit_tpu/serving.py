@@ -86,27 +86,37 @@ class Predictor:
             data = mesh.shape["data"]
             self.buckets = tuple(sorted({-(-b // data) * data
                                          for b in buckets}))
-            if quant and resolve_impl(impl) == "pallas":
-                # The int8 mega-kernels run per-chip under shard_map:
-                # batch-DP with replicated params (no TP for this tier).
-                self.params = jax.device_put(params, replicate(mesh))
-            else:
-                self.params = jax.device_put(
-                    params, param_shardings(params, mesh, cfg))
             self._in_sharding = batch_sharding(mesh)
-            if resolve_impl(impl) == "pallas":
-                # Pallas kernels (float AND int8 mega-kernels) have no GSPMD
-                # partitioning rules — shard the batch explicitly so each
-                # chip runs the single-device program on its shard (no
-                # collectives needed for inference). Params are replicated
-                # on this path, so their in_spec is P().
+            pallas = resolve_impl(impl) == "pallas"
+            if pallas and mesh.shape["model"] > 1 and not quant:
+                # Float tensor parallelism on the kernel tier: explicit
+                # Megatron decomposition under shard_map — partial-sum
+                # mega-kernels + one psum per block half
+                # (vit_tpu/parallel/tp_pallas.py). Params get the
+                # head-major QKV repack that tier requires.
+                from vit_tpu.parallel.tp_pallas import (make_tp_forward,
+                                                        prepare_tp_params)
+                self.params = prepare_tp_params(params, cfg, mesh)
+                fwd = make_tp_forward(cfg, mesh, jit=False)
+            elif pallas:
+                # Pallas kernels otherwise run batch-DP: shard the batch
+                # explicitly so each chip runs the single-device program on
+                # its shard (no collectives needed for inference). Params
+                # are replicated on this path, so their in_spec is P().
+                # The int8 mega-kernels stay DP-only on this tier (their TP
+                # runs on the XLA tier — param_shardings understands
+                # quantized kernels).
                 assert mesh.shape["model"] == 1, (
-                    "pallas serving shards the batch only; use impl='xla' "
-                    "for tensor parallelism")
+                    "pallas+quant serving shards the batch only; use "
+                    "impl='xla' for int8 tensor parallelism")
+                self.params = jax.device_put(params, replicate(mesh))
                 fwd = jax.shard_map(fwd, mesh=mesh,
                                     in_specs=(P(), P("data")),
                                     out_specs=P("data"),
                                     check_vma=False)  # pallas_call carries no vma info
+            else:
+                self.params = jax.device_put(
+                    params, param_shardings(params, mesh, cfg))
             self._fn = jax.jit(fwd)
 
         if precompile:
