@@ -343,3 +343,100 @@ def test_model_routes_layer_block_when_forced(monkeypatch):
     monkeypatch.setenv("VIT_TPU_LAYER_PLAN", "1,256")
     got = np.asarray(vit.forward(params, px, cfg, impl="pallas"))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def _stacked_inputs(rng, l=3, b=2, s=32, d=256, mlp=512, heads=4,
+                    dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    enc = {
+        "ln1": {"scale": arr(l, d, sc=0.5) + 1, "bias": arr(l, d)},
+        "qkv": {"kernel": arr(l, d, 3 * d), "bias": arr(l, 3 * d)},
+        "out": {"kernel": arr(l, d, d), "bias": arr(l, d)},
+        "ln2": {"scale": arr(l, d, sc=0.5) + 1, "bias": arr(l, d)},
+        "fc1": {"kernel": arr(l, d, mlp), "bias": arr(l, mlp)},
+        "fc2": {"kernel": arr(l, mlp, d), "bias": arr(l, d)},
+    }
+    return x, enc
+
+
+def _scan_stacked(x, enc, heads=4):
+    def body(h, i):
+        h = ops.attn_block_stacked(
+            h, enc["ln1"]["scale"], enc["ln1"]["bias"],
+            enc["qkv"]["kernel"], enc["qkv"]["bias"],
+            enc["out"]["kernel"], enc["out"]["bias"], i, num_heads=heads)
+        h = ops.mlp_block_stacked(
+            h, enc["ln2"]["scale"], enc["ln2"]["bias"],
+            enc["fc1"]["kernel"], enc["fc1"]["bias"],
+            enc["fc2"]["kernel"], enc["fc2"]["bias"], i)
+        return h, None
+    return jax.lax.scan(body, x, jnp.arange(
+        enc["qkv"]["kernel"].shape[0]))[0]
+
+
+def test_stacked_blocks_match_sliced_scan():
+    """The scalar-prefetch stacked kernels under lax.scan(index) must equal
+    the per-layer kernels under lax.scan(sliced params)."""
+    rng = np.random.default_rng(7)
+    x, enc = _stacked_inputs(rng)
+
+    def body(h, lp):
+        h = ops.attn_block(h, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                           lp["qkv"]["kernel"], lp["qkv"]["bias"],
+                           lp["out"]["kernel"], lp["out"]["bias"],
+                           num_heads=4, impl="pallas")
+        return ops.mlp_block(h, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                             lp["fc1"]["kernel"], lp["fc1"]["bias"],
+                             lp["fc2"]["kernel"], lp["fc2"]["bias"],
+                             impl="pallas"), None
+
+    want = jax.lax.scan(body, x, enc)[0]
+    got = jax.jit(_scan_stacked)(x, enc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=0)
+
+
+def test_stacked_blocks_grads_match_xla():
+    """jax.grad through the stacked scan (custom VJPs: slice + remat +
+    scatter) must match the XLA composed chain's grads."""
+    rng = np.random.default_rng(8)
+    x, enc = _stacked_inputs(rng, l=2)
+
+    def loss_stacked(enc, x):
+        return jnp.mean(_scan_stacked(x, enc) ** 2)
+
+    def loss_xla(enc, x):
+        def body(h, lp):
+            h = ops.attn_block(h, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                               lp["qkv"]["kernel"], lp["qkv"]["bias"],
+                               lp["out"]["kernel"], lp["out"]["bias"],
+                               num_heads=4, impl="xla")
+            return ops.mlp_block(h, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                                 lp["fc1"]["kernel"], lp["fc1"]["bias"],
+                                 lp["fc2"]["kernel"], lp["fc2"]["bias"],
+                                 impl="xla"), None
+        return jnp.mean(jax.lax.scan(body, x, enc)[0] ** 2)
+
+    got = jax.grad(loss_stacked)(enc, x)
+    want = jax.grad(loss_xla)(enc, x)
+    for ga, wa in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                                   atol=5e-5, rtol=0)
+
+
+def test_model_routes_stacked_scan():
+    """A plannable geometry off the encoder_stack gate must take the
+    stacked-scan path in forward() and match the XLA tier."""
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models.vit import forward, init_params
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=256,
+                    num_heads=4, num_layers=3, mlp_dim=512)
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(9)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    got = forward(params, px, cfg, impl="pallas")
+    want = forward(params, px, cfg, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=0)

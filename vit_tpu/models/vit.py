@@ -288,6 +288,40 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
         x = ops.encoder_stack(x, params["encoder"], num_heads=cfg.num_heads,
                               scale=cfg.head_dim ** -0.5, seq_len=s,
                               eps=cfg.layernorm_eps, impl=impl)
+    elif (fused and attention == "flash"
+          and ops.resolve_impl(impl) == "pallas"
+          and ops.attn_plan(b, sp, cfg.hidden_dim, cfg.num_heads,
+                            x.dtype.itemsize)
+          and ops.mlp_plan(b, sp, cfg.hidden_dim, cfg.mlp_dim,
+                           x.dtype.itemsize)
+          and not ops.layer_plan(b, sp, cfg.hidden_dim, cfg.mlp_dim,
+                                 cfg.num_heads, x.dtype.itemsize)):
+        # Scan-path throughput regime, stacked-weight form: the per-layer
+        # mega-kernels read layer i's weights DIRECTLY from the stacked
+        # (L, ...) params via scalar-prefetch index maps. Under lax.scan
+        # the sliced-params form pays an HBM->HBM copy of every layer's
+        # weights first (pallas_call is opaque to XLA; measured 16-30
+        # us/layer on L/16 — tools/scan_overhead_probe.py); this form
+        # moves each weight byte HBM->VMEM exactly once. Same plans,
+        # same kernels. (A tuned full-layer win, ops.layer_plan, keeps
+        # its sliced route — its entries were measured in situ.)
+        enc = params["encoder"]
+
+        def body(h, i):
+            h = ops.attn_block_stacked(
+                h, enc["ln1"]["scale"], enc["ln1"]["bias"],
+                enc["qkv"]["kernel"], enc["qkv"]["bias"],
+                enc["out"]["kernel"], enc["out"]["bias"], i,
+                num_heads=cfg.num_heads, scale=cfg.head_dim ** -0.5,
+                seq_len=s, eps=cfg.layernorm_eps)
+            h = ops.mlp_block_stacked(
+                h, enc["ln2"]["scale"], enc["ln2"]["bias"],
+                enc["fc1"]["kernel"], enc["fc1"]["bias"],
+                enc["fc2"]["kernel"], enc["fc2"]["bias"], i,
+                eps=cfg.layernorm_eps)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(cfg.num_layers))
     else:
         def body(x, lp):
             return encoder_block(x, lp, cfg, impl=impl, attention=attention,

@@ -22,7 +22,7 @@ __all__ = [
     "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
     "mlp_block", "attn_block", "block_plans", "encoder_stack", "stack_plan",
-    "layer_block", "layer_plan",
+    "layer_block", "layer_plan", "mlp_block_stacked", "attn_block_stacked",
     "resolve_impl", "interpret_mode", "reference",
 ]
 
@@ -244,6 +244,31 @@ def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-12,
     from vit_tpu.ops.pallas import vjp as _k
     return _k.mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
                         interpret_mode(interpret))
+
+
+def mlp_block_stacked(x, ln_scale, ln_bias, w1, b1, w2, b2, idx, *,
+                      eps=1e-12, interpret=None):
+    """Pallas-only: :func:`mlp_block` reading layer ``idx``'s weights
+    straight from the scan-stacked (L, ...) arrays (scalar-prefetch index
+    maps) — under ``lax.scan`` the per-layer slice HBM copies never happen
+    (vit_tpu/ops/pallas/block.py:mlp_block_stacked). Differentiable. The
+    XLA tier has no counterpart: its scan slices fuse into the consuming
+    HLO matmuls for free."""
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.mlp_block_stacked(x, ln_scale, ln_bias, w1, b1, w2, b2, idx,
+                                eps, interpret_mode(interpret))
+
+
+def attn_block_stacked(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, idx, *,
+                       num_heads, scale=None, seq_len=None, eps=1e-12,
+                       interpret=None):
+    """Pallas-only: :func:`attn_block` reading layer ``idx``'s weights
+    straight from the scan-stacked (L, ...) arrays — see
+    :func:`mlp_block_stacked`. Differentiable."""
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.attn_block_stacked(x, ln_scale, ln_bias, wqkv, bqkv, wout,
+                                 bout, idx, num_heads, scale, seq_len, eps,
+                                 interpret_mode(interpret))
 
 
 def stack_plan(batch: int, seq_pad: int, hidden: int, mlp: int,

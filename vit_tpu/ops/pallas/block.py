@@ -256,6 +256,80 @@ def mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     return out.reshape(*lead, d)
 
 
+def mlp_block_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                      w1: jax.Array, b1: jax.Array, w2: jax.Array,
+                      b2: jax.Array, idx: jax.Array, *, eps: float = 1e-12,
+                      interpret: bool = False) -> jax.Array:
+    """:func:`mlp_block` reading layer ``idx``'s weights DIRECTLY from the
+    scan-stacked (L, ...) parameter arrays via scalar-prefetch index maps.
+
+    Under ``lax.scan`` the per-layer variant receives dynamic slices of
+    the stacked params; ``pallas_call`` is opaque to XLA, so every slice
+    materializes as an HBM->HBM copy first — measured 16-30 us/layer on
+    L/16 bf16 (tools/scan_overhead_probe.py), a pure tax on every
+    scan-path forward. Here the stacked arrays are passed whole, the
+    layer index rides the scalar-prefetch channel, and the index maps
+    select layer ``idx``'s blocks, so each weight byte moves HBM->VMEM
+    exactly once. Same plan, same kernel body (squeezed leading dim).
+
+    ``ln_scale``/``ln_bias``: (L, D); ``w1``: (L, D, mlp); ``b1``:
+    (L, mlp); ``w2``: (L, mlp, D); ``b2``: (L, D); ``idx``: int32 scalar.
+    """
+    *lead, d = x.shape
+    mlp = w1.shape[2]
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    assert plan is not None, (m, d, mlp, x.dtype)
+    bm, nt, ct = plan
+    mt = mlp // nt
+    nc = mt // ct
+
+    kernel = functools.partial(_mlp_kernel, eps=eps, d=d, nt=nt, nc=nc,
+                               ct=ct, precision=_dot_precision(x.dtype))
+    vec = lambda n, im: pl.BlockSpec((None, 1, n), im,
+                                     memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(m, bm), nt),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, t, s: (i, 0),
+                         memory_space=pltpu.VMEM),                  # x
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # ln scale
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # ln bias
+            pl.BlockSpec((None, d, mt), lambda i, t, s: (s[0], 0, t),
+                         memory_space=pltpu.VMEM),                  # w1
+            vec(mt, lambda i, t, s: (s[0], 0, t)),                  # b1
+            pl.BlockSpec((None, mt, d), lambda i, t, s: (s[0], t, 0),
+                         memory_space=pltpu.VMEM),                  # w2
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # b2
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, t, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, d), x.dtype),      # xn cache
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ],
+    )
+    l = w1.shape[0]
+    out = pl.pallas_call(
+        lambda s_ref, *args: kernel(*args),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * mlp,
+            bytes_accessed=(2 * m * d + 2 * d * mlp) * x.dtype.itemsize,
+            transcendentals=m * mlp),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xf,
+      ln_scale.reshape(l, 1, d), ln_bias.reshape(l, 1, d),
+      w1, b1.reshape(l, 1, mlp), w2, b2.reshape(l, 1, d))
+    return out.reshape(*lead, d)
+
+
 # ------------------------------------------- int8 mlp block (weight-only) --
 
 def _mlp_q_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
@@ -933,6 +1007,122 @@ def attn_block_partial(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         interpret=interpret,
     )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
       bqkv.reshape(1, 3 * dl), wout)
+    return out.reshape(b, sp, d)
+
+
+# -------------------------------------------- scan-stacked attention block --
+
+def attn_block_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                       wqkv: jax.Array, bqkv: jax.Array, wout: jax.Array,
+                       bout: jax.Array, idx: jax.Array, *, num_heads: int,
+                       scale: float | None = None, seq_len: int | None = None,
+                       eps: float = 1e-12, interpret: bool = False
+                       ) -> jax.Array:
+    """:func:`attn_block` reading layer ``idx``'s weights DIRECTLY from the
+    scan-stacked (L, ...) arrays via scalar-prefetch index maps — the
+    attention counterpart of :func:`mlp_block_stacked` (see its docstring
+    for why: kills the per-layer dynamic-slice HBM copies under scan).
+
+    ``ln_scale``/``ln_bias``/``bout``: (L, D); ``wqkv``: (L, D, 3D);
+    ``bqkv``: (L, 3D); ``wout``: (L, D, D); ``idx``: int32 scalar. Same
+    plans (and tuned entries) as the per-layer form.
+    """
+    b, sp, d = x.shape
+    hd = d // num_heads
+    l = wqkv.shape[0]
+    assert wqkv.shape == (l, d, 3 * d) and wout.shape == (l, d, d)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    plan = attn_block_plan(b, sp, d, num_heads, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, num_heads, x.dtype)
+    xf = x.reshape(b * sp, d)
+    idx = jnp.asarray(idx, jnp.int32).reshape(1)
+    args = (xf, ln_scale.reshape(l, 1, d), ln_bias.reshape(l, 1, d),
+            wqkv, bqkv.reshape(l, 1, 3 * d), wout, bout.reshape(l, 1, d))
+    vec = lambda n, im: pl.BlockSpec((None, 1, n), im,
+                                     memory_space=pltpu.VMEM)
+    mat = lambda shape, im: pl.BlockSpec((None, *shape), im,
+                                         memory_space=pltpu.VMEM)
+
+    if plan["layout"] == "wstream":
+        m = b * sp
+        kernel = functools.partial(
+            _attn_wstream_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+            head_dim=hd, scale=scale, seq_len=seq_len, b=b,
+            precision=_dot_precision(x.dtype))
+        full = pl.BlockSpec((m, d), lambda t, s: (0, 0),
+                            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(4,),
+            in_specs=[
+                full,                                               # x
+                vec(d, lambda t, s: (s[0], 0, 0)),                  # ln scale
+                vec(d, lambda t, s: (s[0], 0, 0)),                  # ln bias
+                mat((d, d), lambda t, s: (s[0], 0, jnp.minimum(t, 2))),
+                vec(d, lambda t, s: (s[0], 0, jnp.minimum(t, 2))),  # bqkv tile
+                mat((d, d), lambda t, s: (s[0], 0, 0)),             # wout
+                vec(d, lambda t, s: (s[0], 0, 0)),                  # bout
+            ],
+            out_specs=full,
+            scratch_shapes=[
+                pltpu.VMEM((m, d), x.dtype),      # xn cache
+                pltpu.VMEM((3, m, d), x.dtype),   # packed q/k/v
+            ],
+        )
+        out = pl.pallas_call(
+            lambda s_ref, *a: kernel(*a),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=28 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * d * 4 * d + 4 * m * sp * d,
+                bytes_accessed=(2 * m * d + 4 * d * d) * x.dtype.itemsize,
+                transcendentals=m * sp),
+            interpret=interpret,
+        )(idx, *args)
+        return out.reshape(b, sp, d)
+
+    group = plan["group"]
+    kernel = functools.partial(
+        _attn_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, group=group,
+        precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i, s: (i, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                                # x
+            vec(d, lambda i, s: (s[0], 0, 0)),                  # ln scale
+            vec(d, lambda i, s: (s[0], 0, 0)),                  # ln bias
+            mat((d, 3 * d), lambda i, s: (s[0], 0, 0)),         # wqkv
+            vec(3 * d, lambda i, s: (s[0], 0, 0)),              # bqkv
+            mat((d, d), lambda i, s: (s[0], 0, 0)),             # wout
+            vec(d, lambda i, s: (s[0], 0, 0)),                  # bout
+        ],
+        out_specs=blk,
+    )
+    out = pl.pallas_call(
+        lambda s_ref, *a: kernel(*a),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # 29MB, matching attn_block: under lax.scan the stacked-weight
+            # blocks add scoped vmem on top of the kernel's own allocation.
+            vmem_limit_bytes=29 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
+            bytes_accessed=(2 * b * sp * d + 4 * d * d) * x.dtype.itemsize,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(idx, *args)
     return out.reshape(b, sp, d)
 
 

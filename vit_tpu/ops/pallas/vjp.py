@@ -511,6 +511,101 @@ def _attn_block_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
 attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
 
 
+# --- scan-stacked indexed forms (vit_tpu/ops/pallas/block.py *_stacked) ---
+#
+# Forward: the scalar-prefetch kernels read layer ``idx``'s weights straight
+# from the stacked (L, ...) arrays (no per-layer HBM slice copies under
+# lax.scan). Backward: slice layer idx (a copy is fine here — training pays
+# it willingly), remat through the composed differentiable chain, and
+# scatter the per-layer weight grads back into (L, ...) cotangents; the
+# scan's closed-over-value accumulation sums them across layers.
+
+def _at_layer(a, idx):
+    return jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
+
+
+def _scatter_layer(full, idx, grad):
+    return jnp.zeros_like(full).at[idx].set(grad.astype(full.dtype))
+
+
+def _int_zero(idx):
+    import numpy as np
+    return np.zeros(jnp.shape(idx), jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def mlp_block_stacked(x, ln_scale, ln_bias, w1, b1, w2, b2, idx,
+                      eps: float = 1e-12, interpret: bool = False):
+    """Differentiable scan-stacked MLP mega-kernel (layer ``idx`` of the
+    stacked params, weights read in-kernel — no slice copies)."""
+    from vit_tpu.ops.pallas.block import mlp_block_stacked as _k
+    return _k(x, ln_scale, ln_bias, w1, b1, w2, b2, idx, eps=eps,
+              interpret=interpret)
+
+
+def _mlp_block_stacked_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, idx, eps,
+                           interpret):
+    from vit_tpu.ops.pallas.block import mlp_block_stacked as _k
+    y = _k(x, ln_scale, ln_bias, w1, b1, w2, b2, idx, eps=eps,
+           interpret=interpret)
+    return y, (x, ln_scale, ln_bias, w1, b1, w2, b2, idx)
+
+
+def _mlp_block_stacked_bwd(eps, interpret, res, g):
+    x, gsc, gbn, w1, b1, w2, b2, idx = res
+    sliced = tuple(_at_layer(a, idx) for a in (gsc, gbn, w1, b1, w2, b2))
+    _, vjp_fn = jax.vjp(
+        lambda *a: _mlp_composed(*a, eps, interpret), x, *sliced)
+    dx, dg, dbn, dw1, db1, dw2, db2 = vjp_fn(g)
+    return (dx, _scatter_layer(gsc, idx, dg), _scatter_layer(gbn, idx, dbn),
+            _scatter_layer(w1, idx, dw1), _scatter_layer(b1, idx, db1),
+            _scatter_layer(w2, idx, dw2), _scatter_layer(b2, idx, db2),
+            _int_zero(idx))
+
+
+mlp_block_stacked.defvjp(_mlp_block_stacked_fwd, _mlp_block_stacked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def attn_block_stacked(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, idx,
+                       num_heads: int, scale: float | None = None,
+                       seq_len: int | None = None, eps: float = 1e-12,
+                       interpret: bool = False):
+    """Differentiable scan-stacked attention mega-kernel (layer ``idx``)."""
+    from vit_tpu.ops.pallas.block import attn_block_stacked as _k
+    return _k(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, idx,
+              num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+              interpret=interpret)
+
+
+def _attn_block_stacked_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                            idx, num_heads, scale, seq_len, eps, interpret):
+    from vit_tpu.ops.pallas.block import attn_block_stacked as _k
+    y = _k(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, idx,
+           num_heads=num_heads, scale=scale, seq_len=seq_len, eps=eps,
+           interpret=interpret)
+    return y, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, idx)
+
+
+def _attn_block_stacked_bwd(num_heads, scale, seq_len, eps, interpret,
+                            res, g):
+    x, gsc, gbn, wqkv, bqkv, wout, bout, idx = res
+    sliced = tuple(_at_layer(a, idx)
+                   for a in (gsc, gbn, wqkv, bqkv, wout, bout))
+    _, vjp_fn = jax.vjp(
+        lambda *a: _attn_composed(*a, num_heads, scale, seq_len, eps,
+                                  interpret), x, *sliced)
+    dx, dg, dbn, dwqkv, dbqkv, dwout, dbout = vjp_fn(g)
+    return (dx, _scatter_layer(gsc, idx, dg), _scatter_layer(gbn, idx, dbn),
+            _scatter_layer(wqkv, idx, dwqkv),
+            _scatter_layer(bqkv, idx, dbqkv),
+            _scatter_layer(wout, idx, dwout),
+            _scatter_layer(bout, idx, dbout), _int_zero(idx))
+
+
+attn_block_stacked.defvjp(_attn_block_stacked_fwd, _attn_block_stacked_bwd)
+
+
 def _layer_composed(x, g1, bn1, wqkv, bqkv, wout, bout, g2, bn2, w1, b1,
                     w2, b2, num_heads, scale, seq_len, eps, interpret):
     """Differentiable op-chain equivalent of layer_block (remat backward)."""
