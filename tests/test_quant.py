@@ -358,6 +358,64 @@ def test_forward_quant_pallas_routes_attn_q(rng, monkeypatch):
     assert rel < 2e-2, rel
 
 
+@pytest.mark.parametrize("i8dot", [True, False])
+def test_stacked_int8_blocks_match_sliced_scan(rng, i8dot):
+    # The scalar-prefetch stacked int8 kernels under lax.scan(index) must
+    # equal the per-layer int8 kernels under lax.scan(sliced params) —
+    # same bodies, same plans, so near-exact (fp32 accumulation order is
+    # identical; only the launcher differs).
+    from vit_tpu.ops.pallas.block import (attn_block_q, attn_block_q_stacked,
+                                          mlp_block_i8dot, mlp_block_q,
+                                          mlp_block_q_stacked)
+
+    l, b, sp, d, nh, mlp, seq = 3, 2, 16, 128, 4, 256, 13
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), jnp.float32)
+    x = x.at[:, seq:].set(0.0)
+    qw = lambda *sh: quant.quantize_weight(
+        jnp.asarray(rng.standard_normal(sh) * 0.05, jnp.float32))
+    arr = lambda *sh: jnp.asarray(0.1 * rng.standard_normal(sh), jnp.float32)
+    enc = {
+        "ln1": {"scale": arr(l, d) + 1, "bias": arr(l, d)},
+        "qkv": {"kernel": qw(l, d, 3 * d), "bias": arr(l, 3 * d)},
+        "out": {"kernel": qw(l, d, d), "bias": arr(l, d)},
+        "ln2": {"scale": arr(l, d) + 1, "bias": arr(l, d)},
+        "fc1": {"kernel": qw(l, d, mlp), "bias": arr(l, mlp)},
+        "fc2": {"kernel": qw(l, mlp, d), "bias": arr(l, d)},
+    }
+    mlp_layer = mlp_block_i8dot if i8dot else mlp_block_q
+
+    def body_sliced(h, lp):
+        kq, ko = lp["qkv"]["kernel"], lp["out"]["kernel"]
+        h = attn_block_q(h, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                         kq["q"], kq["scale"], lp["qkv"]["bias"],
+                         ko["q"], ko["scale"], lp["out"]["bias"],
+                         num_heads=nh, seq_len=seq, interpret=True)
+        k1, k2 = lp["fc1"]["kernel"], lp["fc2"]["kernel"]
+        return mlp_layer(h, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                         k1["q"], k1["scale"], lp["fc1"]["bias"],
+                         k2["q"], k2["scale"], lp["fc2"]["bias"],
+                         interpret=True), None
+
+    def body_stacked(h, i):
+        kq, ko = enc["qkv"]["kernel"], enc["out"]["kernel"]
+        h = attn_block_q_stacked(
+            h, enc["ln1"]["scale"], enc["ln1"]["bias"],
+            kq["q"], kq["scale"], enc["qkv"]["bias"],
+            ko["q"], ko["scale"], enc["out"]["bias"], i,
+            num_heads=nh, seq_len=seq, interpret=True)
+        k1, k2 = enc["fc1"]["kernel"], enc["fc2"]["kernel"]
+        return mlp_block_q_stacked(
+            h, enc["ln2"]["scale"], enc["ln2"]["bias"],
+            k1["q"], k1["scale"], enc["fc1"]["bias"],
+            k2["q"], k2["scale"], enc["fc2"]["bias"], i,
+            i8dot=i8dot, interpret=True), None
+
+    want = jax.lax.scan(body_sliced, x, enc)[0]
+    got = jax.lax.scan(body_stacked, x, jnp.arange(l))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=0)
+
+
 def test_quantized_params_checkpoint_roundtrip(tmp_path, rng):
     # Int8 pytrees ride the same safetensors checkpoint path: int8 leaves
     # and fp32 scales keep their dtypes, forward output is identical.

@@ -180,15 +180,29 @@ def _block_inputs(b: int, sp: int, cfg: ViTConfig, dtype):
         arr(d, d), arr(d), arr(d, mlp), arr(mlp), arr(mlp, d), arr(d)
 
 
-def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype):
+def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype,
+                   quant: bool = False):
     """Sweep (bm, nt, ct) plans for the MLP half-block mega-kernel at the
-    model's row count m = b*sp; bm=0 means whole-m weight streaming."""
-    from vit_tpu.ops.pallas.block import mlp_block
+    model's row count m = b*sp; bm=0 means whole-m weight streaming.
+
+    ``quant=True`` sweeps the int8-dot kernel (mlp_block_i8dot) over the
+    same candidate grid — its per-row activation-quantize VPU work and
+    halved weight DMA can shift the winner vs the float kernel (the bf16
+    footprint model stays the gate: it over-estimates int8, so every
+    admitted config is safe)."""
+    from vit_tpu.ops.pallas.block import mlp_block, mlp_block_i8dot
 
     d, mlp = cfg.hidden_dim, cfg.mlp_dim
     m = b * sp
     it = jnp.dtype(dtype).itemsize
     x, g, be, *_rest, w1, b1, w2, b2 = _block_inputs(b, sp, cfg, dtype)
+    if quant:
+        from vit_tpu.quant import quantize_weight
+        q1, q2 = quantize_weight(w1), quantize_weight(w2)
+        wargs = (q1["q"], q1["scale"], b1, q2["q"], q2["scale"], b2)
+    else:
+        wargs = (w1, b1, w2, b2)
+    kern = mlp_block_i8dot if quant else mlp_block
 
     def est(bm, nt, ct):
         # Same footprint model as mlp_block_plan — env-forced configs
@@ -232,14 +246,14 @@ def sweep_mlpblock(b: int, sp: int, cfg: ViTConfig, dtype):
     cands = [c for c in cands if est(*c) <= limit]
 
     def step(c, x, *w):
-        out = mlp_block(x * (1 + c * 1e-30).astype(dtype), *w)
+        out = kern(x * (1 + c * 1e-30).astype(dtype), *w)
         return jnp.mean(out).astype(jnp.float32)
 
     rows = []
     for bm, nt, ct in cands:
         os.environ["VIT_TPU_MLP_PLAN"] = f"{bm},{nt},{ct}"
         try:
-            ms = _bench(step, (x, g, be, w1, b1, w2, b2))
+            ms = _bench(step, (x, g, be) + wargs)
         except Exception as e:  # noqa: BLE001 - sweep must survive bad configs
             log(f"  mlp ({bm},{nt},{ct}) FAIL: {str(e)[:80]}")
             continue
@@ -291,6 +305,45 @@ def sweep_attnblock(b: int, sp: int, cfg: ViTConfig, dtype):
         tflops = (8 * b * sp * d * d + 4 * b * sp * sp * d) / 1e12 / (ms / 1e3)
         rows.append({"cand": cand, "ms": ms, "tflops": tflops})
         log(f"  attn {cand} {ms:.4f} ms = {tflops:.1f} TF/s")
+    return rows
+
+
+def sweep_attnqblock(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Sweep group sizes for the int8-projection attention mega-kernel
+    (attn_block_q) at batch b — its quantize VPU work per group differs
+    from the float kernel's, so the best images-per-grid-step can too."""
+    from vit_tpu.ops.pallas.block import attn_block_q, attn_block_q_plan
+    from vit_tpu.quant import quantize_weight
+
+    d, nh = cfg.hidden_dim, cfg.num_heads
+    x, g, be, wqkv, bqkv, wout, bout, *_ = _block_inputs(b, sp, cfg, dtype)
+    qkv, out_q = quantize_weight(wqkv), quantize_weight(wout)
+    it = jnp.dtype(dtype).itemsize
+
+    def step(c, x, *w):
+        o = attn_block_q(x * (1 + c * 1e-30).astype(dtype), *w,
+                         num_heads=nh, seq_len=cfg.seq_len)
+        return jnp.mean(o).astype(jnp.float32)
+
+    rows = []
+    for gr in (1, 2, 4, 8):
+        os.environ["VIT_TPU_ATTNQ_PLAN"] = str(gr)
+        try:
+            # The plan env is budget-gated inside attn_block_q_plan; an
+            # infeasible group returns None and the kernel's assert trips —
+            # caught here like any other failed candidate.
+            if attn_block_q_plan(b, sp, d, nh, it) is None:
+                continue
+            ms = _bench(step, (x, g, be, qkv["q"], qkv["scale"], bqkv,
+                               out_q["q"], out_q["scale"], bout))
+        except Exception as e:  # noqa: BLE001
+            log(f"  attnq group={gr} FAIL: {str(e)[:80]}")
+            continue
+        finally:
+            os.environ.pop("VIT_TPU_ATTNQ_PLAN", None)
+        tflops = (8 * b * sp * d * d + 4 * b * sp * sp * d) / 1e12 / (ms / 1e3)
+        rows.append({"group": gr, "ms": ms, "tflops": tflops})
+        log(f"  attnq group={gr} {ms:.4f} ms = {tflops:.1f} TF/s")
     return rows
 
 
@@ -398,7 +451,8 @@ def model_matmul_shapes(cfg: ViTConfig, batch: int) -> list[tuple[int, int, int]
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--op", default="all",
-                    choices=["matmul", "flash", "block", "layer", "all"])
+                    choices=["matmul", "flash", "block", "layer", "quant",
+                             "all"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batches", type=int, nargs="*", default=[32],
@@ -581,6 +635,43 @@ def main():
                                       extra={"ms": round(best["ms"], 6),
                                              "shape": f"bs{b} v5e"})
                         log(f"  -> winner ({best['cq']},{best['mt']})")
+
+    if args.op == "quant":
+        # Int8-kernel plans: same candidate grids as the float block
+        # sweep, but timed on the int8 kernels and recorded under their
+        # own keys (mlpblocki8 / attnqblock) — consulted by
+        # mlp_block_plan_i8 / attn_block_q_plan ahead of the shared
+        # float winners.
+        sp = round_up(cfg.seq_len, 16)
+        d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+        for b in args.batches:
+            m = b * sp
+            log(f"[mlpblocki8 {args.dtype}] m={m} d={d} mlp={mlp}")
+            rows = sweep_mlpblock(b, sp, cfg, dtype, quant=True)
+            if rows:
+                best = min(rows, key=lambda r: r["ms"])
+                tuning.record(
+                    "mlpblocki8", dtype, (m, d, mlp),
+                    {"bm": best["bm"], "nt": best["nt"], "ct": best["ct"]},
+                    extra={"ms": round(best["ms"], 6),
+                           "tflops": round(best["tflops"], 1),
+                           "shape": f"bs{b} v5e"})
+                sweep_log["sweeps"].append(
+                    {"op": "mlpblocki8", "shape": [m, d, mlp], "rows": rows})
+                log(f"  -> winner ({best['bm']},{best['nt']},{best['ct']}) "
+                    f"{best['tflops']:.1f} TF/s")
+            log(f"[attnqblock {args.dtype}] b={b} sp={sp} d={d}")
+            rows = sweep_attnqblock(b, sp, cfg, dtype)
+            if rows:
+                best = min(rows, key=lambda r: r["ms"])
+                tuning.record("attnqblock", dtype, (b, sp, d, nh),
+                              {"group": best["group"]},
+                              extra={"ms": round(best["ms"], 6),
+                                     "shape": f"bs{b} v5e"})
+                sweep_log["sweeps"].append(
+                    {"op": "attnqblock", "shape": [b, sp, d, nh],
+                     "rows": rows})
+                log(f"  -> winner group={best['group']}")
 
     os.makedirs("benchmarks/tune", exist_ok=True)
     tag = "" if args.variant == "B/16" else \

@@ -396,7 +396,7 @@ def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     assert w1q.shape == (d, mlp) and w2q.shape == (mlp, d)
     xf = x.reshape(-1, d)
     m = xf.shape[0]
-    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    plan = mlp_block_plan_i8(m, d, mlp, x.dtype.itemsize)
     assert plan is not None, (m, d, mlp, x.dtype)
     bm, nt, ct = plan
     mt = mlp // nt
@@ -446,6 +446,28 @@ def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
       w1q, s1.reshape(1, mlp), b1.reshape(1, mlp),
       w2q, s2.reshape(1, d), b2.reshape(1, d))
     return out.reshape(*lead, d)
+
+
+def mlp_block_plan_i8(m: int, d: int, mlp: int, itemsize: int,
+                      budget: int = _VMEM_BUDGET):
+    """Plan for the int8 MLP kernels: env force (via the shared plan) >
+    int8-tuned entry (op ``mlpblocki8``) > the shared float plan.
+
+    The bf16 winner is a good prior (same grid, same streaming scheme),
+    but the int8 kernels add per-row activation-quantize VPU work and
+    halve the weight DMA, which can shift the best row blocking — shapes
+    where it matters get their own tuned entries
+    (``python -m vit_tpu.bench.tune --op quant``).
+    """
+    if os.environ.get("VIT_TPU_MLP_PLAN"):
+        return mlp_block_plan(m, d, mlp, itemsize, budget)
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("mlpblocki8", dtype, (m, d, mlp))
+    if hit is not None:
+        bm = int(hit["bm"]) or round_up(m, 8)
+        return bm, int(hit["nt"]), int(hit["ct"])
+    return mlp_block_plan(m, d, mlp, itemsize, budget)
 
 
 # ----------------------------------- int8-dot mlp block (act+weight quant) --
@@ -516,7 +538,7 @@ def mlp_block_i8dot(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     assert w1q.dtype == jnp.int8 and w2q.dtype == jnp.int8
     xf = x.reshape(-1, d)
     m = xf.shape[0]
-    plan = mlp_block_plan(m, d, mlp, x.dtype.itemsize)
+    plan = mlp_block_plan_i8(m, d, mlp, x.dtype.itemsize)
     assert plan is not None, (m, d, mlp, x.dtype)
     bm, nt, ct = plan
     mt = mlp // nt
@@ -1198,6 +1220,10 @@ def attn_block_q_plan(b: int, sp: int, d: int, num_heads: int,
     with the REAL int8 weight footprint (4d² bytes vs the float plan's
     4d²·itemsize) plus the xq/cq int8 row scratch, so geometries the
     float planner routes to wstream still get a kernel here.
+
+    Resolution: ``VIT_TPU_ATTNQ_PLAN`` env (tune.py's config forcing,
+    budget-gated) > tuned entry (op ``attnqblock``, group clamped to a
+    feasible divisor of b) > largest budget-feasible divisor of b.
     """
     if d % 128 or sp % 8 or d % num_heads:
         return None
@@ -1209,8 +1235,24 @@ def attn_block_q_plan(b: int, sp: int, d: int, num_heads: int,
                  + 2 * sp * d)                      # xq + cq int8
     if w + per_batch > budget:
         return None
+
+    def feasible(g):
+        return g >= 1 and b % g == 0 and w + g * per_batch <= budget
+
+    env = os.environ.get("VIT_TPU_ATTNQ_PLAN")
+    if env:
+        g = int(env)
+        return g if feasible(g) else None
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("attnqblock", dtype, (b, sp, d, num_heads))
+    if hit is not None:
+        g = int(hit["group"])
+        while not feasible(g):
+            g -= 1
+        return g
     group = b
-    while b % group or w + group * per_batch > budget:
+    while not feasible(group):
         group -= 1
     return group
 
@@ -1278,6 +1320,177 @@ def attn_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
       wqkv_q, sqkv.reshape(1, 3 * d).astype(jnp.float32),
       bqkv.reshape(1, 3 * d),
       wout_q, sout.reshape(1, d).astype(jnp.float32), bout.reshape(1, d))
+    return out.reshape(b, sp, d)
+
+
+# ------------------------------------------- stacked int8 blocks (scan path) --
+
+def mlp_block_q_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                        w1q: jax.Array, s1: jax.Array, b1: jax.Array,
+                        w2q: jax.Array, s2: jax.Array, b2: jax.Array,
+                        idx: jax.Array, *, eps: float = 1e-12,
+                        i8dot: bool = True,
+                        interpret: bool = False) -> jax.Array:
+    """Stacked-weight form of the int8 MLP mega-kernels — the int8
+    counterpart of :func:`mlp_block_stacked` (see its docstring: under
+    ``lax.scan`` per-layer dynamic slices of the stacked params cost an
+    HBM->HBM copy each because ``pallas_call`` is opaque to XLA).
+
+    ``i8dot=True`` runs :func:`_mlp_i8dot_kernel` (s8 x s8 -> s32 dots,
+    the throughput tier); ``i8dot=False`` runs :func:`_mlp_q_kernel`
+    (weight-only, float dots). Both kernels share one ref signature, so
+    this single launcher serves both.
+
+    ``ln_scale``/``ln_bias``/``s2``/``b2``: (L, D); ``w1q``: (L, D, mlp)
+    int8; ``s1``/``b1``: (L, mlp); ``w2q``: (L, mlp, D) int8; ``idx``:
+    int32 scalar. Same plans as the per-layer forms.
+    """
+    *lead, d = x.shape
+    l, mlp = w1q.shape[0], w1q.shape[2]
+    assert w1q.dtype == jnp.int8 and w2q.dtype == jnp.int8
+    assert w1q.shape == (l, d, mlp) and w2q.shape == (l, mlp, d)
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    plan = mlp_block_plan_i8(m, d, mlp, x.dtype.itemsize)
+    assert plan is not None, (m, d, mlp, x.dtype)
+    bm, nt, ct = plan
+    mt = mlp // nt
+    nc = mt // ct
+
+    if i8dot:
+        kernel = functools.partial(_mlp_i8dot_kernel, eps=eps, d=d, nt=nt,
+                                   nc=nc, ct=ct)
+        scratch = [
+            pltpu.VMEM((bm, d), jnp.int8),     # quantized xn
+            pltpu.VMEM((bm, 1), jnp.float32),  # per-row activation scales
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ]
+    else:
+        kernel = functools.partial(_mlp_q_kernel, eps=eps, d=d, nt=nt,
+                                   nc=nc, ct=ct,
+                                   precision=_dot_precision(x.dtype))
+        scratch = [
+            pltpu.VMEM((bm, d), x.dtype),      # xn cache
+            pltpu.VMEM((bm, d), jnp.float32),  # residual-seeded accumulator
+        ]
+
+    vec = lambda n, im: pl.BlockSpec((None, 1, n), im,
+                                     memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(m, bm), nt),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, t, s: (i, 0),
+                         memory_space=pltpu.VMEM),                  # x
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # ln scale
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # ln bias
+            pl.BlockSpec((None, d, mt), lambda i, t, s: (s[0], 0, t),
+                         memory_space=pltpu.VMEM),                  # w1 int8
+            vec(mt, lambda i, t, s: (s[0], 0, t)),                  # s1
+            vec(mt, lambda i, t, s: (s[0], 0, t)),                  # b1
+            pl.BlockSpec((None, mt, d), lambda i, t, s: (s[0], t, 0),
+                         memory_space=pltpu.VMEM),                  # w2 int8
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # s2
+            vec(d, lambda i, t, s: (s[0], 0, 0)),                   # b2
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, t, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        lambda s_ref, *args: kernel(*args),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=28 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * mlp,
+            bytes_accessed=2 * m * d * x.dtype.itemsize + 2 * d * mlp,
+            transcendentals=m * mlp),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xf,
+      ln_scale.reshape(l, 1, d), ln_bias.reshape(l, 1, d),
+      w1q, s1.reshape(l, 1, mlp).astype(jnp.float32),
+      b1.reshape(l, 1, mlp),
+      w2q, s2.reshape(l, 1, d).astype(jnp.float32), b2.reshape(l, 1, d))
+    return out.reshape(*lead, d)
+
+
+def attn_block_q_stacked(x: jax.Array, ln_scale: jax.Array,
+                         ln_bias: jax.Array, wqkv_q: jax.Array,
+                         sqkv: jax.Array, bqkv: jax.Array,
+                         wout_q: jax.Array, sout: jax.Array,
+                         bout: jax.Array, idx: jax.Array, *, num_heads: int,
+                         scale: float | None = None,
+                         seq_len: int | None = None, eps: float = 1e-12,
+                         interpret: bool = False) -> jax.Array:
+    """:func:`attn_block_q` reading layer ``idx``'s int8 weights DIRECTLY
+    from the scan-stacked (L, ...) arrays via scalar-prefetch index maps
+    (see :func:`mlp_block_q_stacked`).
+
+    ``ln_scale``/``ln_bias``/``sout``/``bout``: (L, D); ``wqkv_q``:
+    (L, D, 3D) int8; ``sqkv``/``bqkv``: (L, 3D); ``wout_q``: (L, D, D)
+    int8; ``idx``: int32 scalar. Same plan as the per-layer form.
+    """
+    b, sp, d = x.shape
+    hd = d // num_heads
+    l = wqkv_q.shape[0]
+    assert wqkv_q.dtype == jnp.int8 and wout_q.dtype == jnp.int8
+    assert wqkv_q.shape == (l, d, 3 * d) and wout_q.shape == (l, d, d)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    group = attn_block_q_plan(b, sp, d, num_heads, x.dtype.itemsize)
+    assert group is not None, (b, sp, d, num_heads, x.dtype)
+    xf = x.reshape(b * sp, d)
+
+    kernel = functools.partial(
+        _attn_q_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, group=group,
+        precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i, s: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((None, 1, n), lambda i, s: (s[0], 0, 0),
+                                 memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                                # x
+            vec(d), vec(d),                                     # ln scale/bias
+            pl.BlockSpec((None, d, 3 * d), lambda i, s: (s[0], 0, 0),
+                         memory_space=pltpu.VMEM),              # wqkv int8
+            vec(3 * d),                                         # sqkv fp32
+            vec(3 * d),                                         # bqkv
+            pl.BlockSpec((None, d, d), lambda i, s: (s[0], 0, 0),
+                         memory_space=pltpu.VMEM),              # wout int8
+            vec(d),                                             # sout fp32
+            vec(d),                                             # bout
+        ],
+        out_specs=blk,
+    )
+    out = pl.pallas_call(
+        lambda s_ref, *args: kernel(*args),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # 29MB like attn_block_stacked: the stacked-weight blocks add
+            # scoped vmem on top of the kernel's own allocation under scan.
+            vmem_limit_bytes=29 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
+            bytes_accessed=2 * b * sp * d * x.dtype.itemsize + 4 * d * d,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xf,
+      ln_scale.reshape(l, 1, d), ln_bias.reshape(l, 1, d),
+      wqkv_q, sqkv.reshape(l, 1, 3 * d).astype(jnp.float32),
+      bqkv.reshape(l, 1, 3 * d),
+      wout_q, sout.reshape(l, 1, d).astype(jnp.float32),
+      bout.reshape(l, 1, d))
     return out.reshape(b, sp, d)
 
 

@@ -216,8 +216,9 @@ def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
 
         from vit_tpu.ops.dispatch import interpret_mode
         from vit_tpu.ops.pallas.block import (mlp_block_i8dot,
-                                              mlp_block_plan, mlp_block_q)
-        if mlp_block_plan(b * s, d, cfg.mlp_dim, x.dtype.itemsize):
+                                              mlp_block_plan_i8,
+                                              mlp_block_q)
+        if mlp_block_plan_i8(b * s, d, cfg.mlp_dim, x.dtype.itemsize):
             # Kernel tier default: int8-DOT — s8xs8->s32 on the MXU's
             # double-rate path, probe-confirmed (tools/int8_probe.py,
             # 243.9 TOPS vs 132.4 TF/s bf16) and measured faster than the
@@ -287,11 +288,54 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
                             eps=cfg.layernorm_eps,
                             interpret=interpret_mode(None))
     else:
-        def body(x, lp):
-            return _block_quant(x, lp, cfg, impl,
-                                seq_len=s if sp != s else None), None
+        stacked = False
+        if pallas:
+            from vit_tpu.ops.pallas.block import (attn_block_q_plan,
+                                                  mlp_block_plan_i8)
+            stacked = (attn_block_q_plan(b, sp, d, cfg.num_heads,
+                                         x.dtype.itemsize) is not None
+                       and mlp_block_plan_i8(b * sp, d, cfg.mlp_dim,
+                                             x.dtype.itemsize) is not None)
+        if stacked:
+            # Stacked-weight scan (mirrors the float tier,
+            # vit_tpu/models/vit.py:299-324): the per-layer mega-kernels
+            # read layer i's int8 weights directly from the stacked
+            # (L, ...) arrays via scalar-prefetch index maps — under
+            # lax.scan the sliced form pays an HBM->HBM copy per layer
+            # first (pallas_call is opaque to XLA).
+            import os
 
-        x, _ = jax.lax.scan(body, x, qparams["encoder"])
+            from vit_tpu.ops.dispatch import interpret_mode
+            from vit_tpu.ops.pallas.block import (attn_block_q_stacked,
+                                                  mlp_block_q_stacked)
+            enc = qparams["encoder"]
+            i8dot = os.environ.get("VIT_TPU_INT8_DOT") != "0"
+            itp = interpret_mode(None)
+
+            def body(h, i):
+                kq, ko = enc["qkv"]["kernel"], enc["out"]["kernel"]
+                h = attn_block_q_stacked(
+                    h, enc["ln1"]["scale"], enc["ln1"]["bias"],
+                    kq["q"], kq["scale"], enc["qkv"]["bias"],
+                    ko["q"], ko["scale"], enc["out"]["bias"], i,
+                    num_heads=cfg.num_heads, scale=cfg.head_dim ** -0.5,
+                    seq_len=s if sp != s else None,
+                    eps=cfg.layernorm_eps, interpret=itp)
+                k1, k2 = enc["fc1"]["kernel"], enc["fc2"]["kernel"]
+                h = mlp_block_q_stacked(
+                    h, enc["ln2"]["scale"], enc["ln2"]["bias"],
+                    k1["q"], k1["scale"], enc["fc1"]["bias"],
+                    k2["q"], k2["scale"], enc["fc2"]["bias"], i,
+                    eps=cfg.layernorm_eps, i8dot=i8dot, interpret=itp)
+                return h, None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(cfg.num_layers))
+        else:
+            def body(x, lp):
+                return _block_quant(x, lp, cfg, impl,
+                                    seq_len=s if sp != s else None), None
+
+            x, _ = jax.lax.scan(body, x, qparams["encoder"])
     x = ref.layernorm(x, qparams["ln_final"]["scale"],
                       qparams["ln_final"]["bias"], eps=cfg.layernorm_eps)
     if sp != s:
