@@ -62,15 +62,40 @@ def test_mesh_serving_matches_single_device(pred, rng, data, model, impl):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_mesh_serving_pallas_quant_rejects_tp(pred):
-    # Float pallas TP is served via tp_pallas (tests/test_parallel.py);
-    # the INT8 mega-kernels remain batch-DP-only on this tier.
+@pytest.mark.parametrize("data,model,impl", [(4, 1, "xla"), (2, 2, "xla"),
+                                             (4, 1, "pallas"),
+                                             (2, 2, "pallas")])
+def test_mesh_multibucket_single_dispatch(pred, rng, data, model, impl):
+    """A multi-bucket request on a mesh runs through ONE jitted plan
+    executor (the RPC floor is paid once per request, not once per chunk
+    — VERDICT r3 item 6) and still matches the single-device forward."""
     from vit_tpu.parallel import make_mesh
 
+    mesh = make_mesh(data=data, model=model)
+    p = Predictor(pred.params, CFG, buckets=(4, 8), mesh=mesh, impl=impl)
+    px = rng.standard_normal((14, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(p(px))  # plan [8, 4, 4(pad 2)] -> one executor
+    assert list(p._plan_fns) == [(8, 4, 4)]
+    want = np.asarray(vit.forward(pred.params, jnp.asarray(px), CFG))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_mesh_serving_pallas_quant_tp(pred, rng):
+    """Int8 TENSOR parallelism on the pallas tier (round-4): the quant
+    pytree is head-major-repacked + Megatron-sharded and served through
+    the partial-sum int8 blocks under shard_map (tp_pallas quant=True)."""
+    from vit_tpu.parallel import make_mesh
+    from vit_tpu.quant import forward_quant, quantize_params
+
     mesh = make_mesh(data=4, model=2)
-    with pytest.raises(AssertionError, match="batch only"):
-        Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl="pallas",
+    p = Predictor(pred.params, CFG, buckets=(8,), mesh=mesh, impl="pallas",
                   quant=True)
+    px = rng.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(p(px))
+    want = np.asarray(forward_quant(quantize_params(pred.params),
+                                    jnp.asarray(px), CFG, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-2)
 
 
 def test_padding_images_do_not_leak(pred, rng):

@@ -70,3 +70,26 @@ def test_forget_drops_entry(tmp_table):
                          (32, 208, 768, 3072, 12)) is None
     # forgetting a missing key is a no-op
     tuning.forget("layerblock", jnp.bfloat16, (1, 2, 3))
+
+
+def test_encoder_stack_plan_q_routes(tmp_table):
+    """The int8 tier's stack gate (round-4): a recorded encstackq entry IS
+    the routing decision — "layers" returns None (per-layer stacked int8
+    kernels), a (cq, mt) entry pins the stack plan; no entry falls back to
+    the float planner."""
+    from vit_tpu.ops.pallas.block import (encoder_stack_plan,
+                                          encoder_stack_plan_q)
+
+    dims = (1, 208, 768, 3072, 12)
+    # No entry: mirrors the float plan (same gate, same heuristic).
+    assert (encoder_stack_plan_q(*dims, 2)
+            == encoder_stack_plan(*dims, 2))
+    tuning.record("encstackq", jnp.bfloat16, dims, {"route": "layers"})
+    assert encoder_stack_plan_q(*dims, 2) is None
+    tuning.record("encstackq", jnp.bfloat16, dims, {"cq": 2304, "mt": 768})
+    plan = encoder_stack_plan_q(*dims, 2)
+    assert plan["cq"] == 2304 and plan["mt"] == 768 and plan["nq"] == 1
+    # An infeasible recorded plan falls back to the float planner.
+    tuning.record("encstackq", jnp.bfloat16, dims, {"cq": 100, "mt": 100})
+    assert (encoder_stack_plan_q(*dims, 2)
+            == encoder_stack_plan(*dims, 2))

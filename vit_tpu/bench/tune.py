@@ -434,6 +434,90 @@ def sweep_encstack(b: int, sp: int, cfg: ViTConfig, dtype):
     return rows
 
 
+def sweep_encstackq(b: int, sp: int, cfg: ViTConfig, dtype):
+    """Stack-vs-layers ROUTE sweep for the int8 tier (op ``encstackq``):
+    time the whole-encoder int8 kernel over (cq, mt) candidates AND the
+    per-layer stacked int8 path (i8dot + weight-only), on the same
+    quantized pytree. Rows carry ``route`` = "stack" or "layers"."""
+    from vit_tpu.ops.pallas.block import (attn_block_q_stacked,
+                                          encoder_stack_plan_q,
+                                          encoder_stack_q,
+                                          mlp_block_q_stacked)
+    from vit_tpu.quant import quantize_weight
+
+    d, mlp, nh, L = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads, cfg.num_layers
+    rng = np.random.default_rng(0)
+    arr = lambda *sh, sc=0.05: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), dtype)
+    x = x.at[:, cfg.seq_len:].set(0)
+    qenc = {
+        "ln1": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "qkv": {"kernel": quantize_weight(arr(L, d, 3 * d)),
+                "bias": arr(L, 3 * d)},
+        "out": {"kernel": quantize_weight(arr(L, d, d)), "bias": arr(L, d)},
+        "ln2": {"scale": arr(L, d, sc=0.2) + 1, "bias": arr(L, d)},
+        "fc1": {"kernel": quantize_weight(arr(L, d, mlp)),
+                "bias": arr(L, mlp)},
+        "fc2": {"kernel": quantize_weight(arr(L, mlp, d)), "bias": arr(L, d)},
+    }
+
+    def stack_step(c, x, qenc):
+        out = encoder_stack_q(x * (1 + c * 1e-30).astype(dtype), qenc,
+                              num_heads=nh, seq_len=cfg.seq_len)
+        return jnp.mean(out).astype(jnp.float32)
+
+    def make_layers_step(i8dot):
+        def step(c, x, qenc):
+            h = x * (1 + c * 1e-30).astype(dtype)
+
+            def body(h, i):
+                kq, ko = qenc["qkv"]["kernel"], qenc["out"]["kernel"]
+                h = attn_block_q_stacked(
+                    h, qenc["ln1"]["scale"], qenc["ln1"]["bias"],
+                    kq["q"], kq["scale"], qenc["qkv"]["bias"],
+                    ko["q"], ko["scale"], qenc["out"]["bias"], i,
+                    num_heads=nh, seq_len=cfg.seq_len)
+                k1, k2 = qenc["fc1"]["kernel"], qenc["fc2"]["kernel"]
+                h = mlp_block_q_stacked(
+                    h, qenc["ln2"]["scale"], qenc["ln2"]["bias"],
+                    k1["q"], k1["scale"], qenc["fc1"]["bias"],
+                    k2["q"], k2["scale"], qenc["fc2"]["bias"], i,
+                    i8dot=i8dot)
+                return h, None
+
+            h, _ = jax.lax.scan(body, h, jnp.arange(L))
+            return jnp.mean(h).astype(jnp.float32)
+        return step
+
+    it = jnp.dtype(dtype).itemsize
+    rows = []
+    for cq in (d, 3 * d):
+        for mt in (1536, 1024, 768):
+            os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
+            ok = encoder_stack_plan_q(b, sp, d, mlp, nh, it) is not None
+            if not ok:
+                os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                continue
+            try:
+                ms = _bench(stack_step, (x, qenc))
+            except Exception as e:  # noqa: BLE001
+                log(f"  encstackq ({cq},{mt}) FAIL: {str(e)[:80]}")
+                continue
+            finally:
+                os.environ.pop("VIT_TPU_STACK_PLAN", None)
+            rows.append({"route": "stack", "cq": cq, "mt": mt, "ms": ms})
+            log(f"  encstackq stack ({cq},{mt}) {ms:.4f} ms")
+    for i8dot in (True, False):
+        try:
+            ms = _bench(make_layers_step(i8dot), (x, qenc))
+        except Exception as e:  # noqa: BLE001
+            log(f"  encstackq layers(i8dot={i8dot}) FAIL: {str(e)[:80]}")
+            continue
+        rows.append({"route": "layers", "i8dot": i8dot, "ms": ms})
+        log(f"  encstackq layers(i8dot={i8dot}) {ms:.4f} ms")
+    return rows
+
+
 # ------------------------------------------------------------------- driver
 
 def model_matmul_shapes(cfg: ViTConfig, batch: int) -> list[tuple[int, int, int]]:
@@ -672,6 +756,32 @@ def main():
                     {"op": "attnqblock", "shape": [b, sp, d, nh],
                      "rows": rows})
                 log(f"  -> winner group={best['group']}")
+            if b <= 4:
+                # Stack-vs-layers route for the int8 tier: the recorded
+                # encstackq entry IS the routing decision consulted by
+                # encoder_stack_plan_q (a "layers" route falls back to the
+                # per-layer stacked int8 kernels).
+                log(f"[encstackq {args.dtype}] b={b} sp={sp}")
+                rows = sweep_encstackq(b, sp, cfg, dtype)
+                if rows:
+                    best = min(rows, key=lambda r: r["ms"])
+                    meta = {"ms": round(best["ms"], 6), "shape": f"bs{b} v5e"}
+                    if best["route"] == "layers":
+                        tuning.record("encstackq", dtype,
+                                      (b, sp, d, mlp, nh),
+                                      {"route": "layers"}, extra=meta)
+                        log(f"  -> winner: per-layer stacked int8 "
+                            f"(i8dot={best['i8dot']}) {best['ms']:.4f} ms")
+                    else:
+                        tuning.record("encstackq", dtype,
+                                      (b, sp, d, mlp, nh),
+                                      {"cq": best["cq"], "mt": best["mt"]},
+                                      extra=meta)
+                        log(f"  -> winner: stack ({best['cq']},"
+                            f"{best['mt']}) {best['ms']:.4f} ms")
+                    sweep_log["sweeps"].append(
+                        {"op": "encstackq", "shape": [b, sp, d, mlp, nh],
+                         "rows": rows})
 
     os.makedirs("benchmarks/tune", exist_ok=True)
     tag = "" if args.variant == "B/16" else \

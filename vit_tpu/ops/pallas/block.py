@@ -334,7 +334,8 @@ def mlp_block_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
 
 def _mlp_q_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
                   s2_ref, b2_ref, o_ref, xn_ref, acc_ref, *, eps: float,
-                  d: int, nt: int, nc: int, ct: int, precision):
+                  d: int, nt: int, nc: int, ct: int, precision,
+                  partial: bool = False):
     """:func:`_mlp_kernel` with int8 weight tiles (vit_tpu/quant.py layout).
 
     Weight-only quantization: the streamed fc1/fc2 tiles arrive as int8 —
@@ -358,7 +359,10 @@ def _mlp_q_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
         xn = (xn * g_ref[:].astype(jnp.float32)
               + b_ref[:].astype(jnp.float32))
         xn_ref[:] = xn.astype(xn_ref.dtype)
-        acc_ref[:] = x32 + b2_ref[:].astype(jnp.float32)
+        # Zero seed on the TP partial path: residual and b2 are added
+        # exactly once by the caller, after the cross-shard psum.
+        acc_ref[:] = (jnp.zeros_like(x32) if partial
+                      else x32 + b2_ref[:].astype(jnp.float32))
 
     xn = xn_ref[:]
     for c in range(nc):
@@ -381,7 +385,8 @@ def _mlp_q_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
 def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                 w1q: jax.Array, s1: jax.Array, b1: jax.Array,
                 w2q: jax.Array, s2: jax.Array, b2: jax.Array,
-                *, eps: float = 1e-12, interpret: bool = False) -> jax.Array:
+                *, eps: float = 1e-12, interpret: bool = False,
+                partial_out: bool = False) -> jax.Array:
     """Int8-weight ``x + fc2(gelu(fc1(LN(x))))`` in one Pallas pass.
 
     ``w1q`` (D, mlp) / ``w2q`` (mlp, D) int8 with fp32 per-output-channel
@@ -389,6 +394,9 @@ def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     :func:`vit_tpu.quant.quantize_weight`. Plan-gated like
     :func:`mlp_block` (the float plan over-estimates the int8 weight
     VMEM, so any plan it returns is safe here).
+
+    ``partial_out=True``: tensor-parallel shard form — w1q/w2q hold this
+    shard's mlp-column slice, no residual / b2 (added post-psum).
     """
     *lead, d = x.shape
     mlp = w1q.shape[1]
@@ -403,7 +411,8 @@ def mlp_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     nc = mt // ct
 
     kernel = functools.partial(_mlp_q_kernel, eps=eps, d=d, nt=nt, nc=nc,
-                               ct=ct, precision=_dot_precision(x.dtype))
+                               ct=ct, precision=_dot_precision(x.dtype),
+                               partial=partial_out)
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(m, bm), nt),
@@ -457,16 +466,43 @@ def mlp_block_plan_i8(m: int, d: int, mlp: int, itemsize: int,
     but the int8 kernels add per-row activation-quantize VPU work and
     halve the weight DMA, which can shift the best row blocking — shapes
     where it matters get their own tuned entries
-    (``python -m vit_tpu.bench.tune --op quant``).
+    (``python -m vit_tpu.bench.tune --op quant``; the entry is timed on
+    :func:`mlp_block_i8dot` and shared with the weight-only
+    :func:`mlp_block_q` and the stacked variants, whose VPU/DMA balance
+    differs slightly — acceptable because grid/VMEM feasibility is
+    identical and the measured spread between them is within noise).
+
+    A tuned hit is re-validated against ``budget`` with the int8 weight
+    footprint before it is returned, so a caller passing a tighter budget
+    than the tuner's is never handed an infeasible plan.
     """
     if os.environ.get("VIT_TPU_MLP_PLAN"):
         return mlp_block_plan(m, d, mlp, itemsize, budget)
+
+    def est_i8(bm, nt, ct, nm):
+        # _mlp_q_kernel/_mlp_i8dot_kernel footprint: int8 weights (1 B)
+        # + scale rows, float x/out IO, xn + fp32 acc scratch, fp32
+        # hidden + cast, int8 xq/cq rows (i8dot only — counted always,
+        # conservatively).
+        mt = mlp // nt
+        w = (d * mt + mt * d) * (1 if nt == 1 else 2) + 4 * (mt + d)
+        io = (2 if nm > 1 else 1) * 2 * bm * d * itemsize
+        scratch = bm * d * (itemsize + 4) + bm * d      # xn + acc + xq
+        hidden = bm * ct * (4 + itemsize) + bm * ct     # fp32 + cast + cq
+        vecs = (2 * d + 2 * mt + d) * itemsize
+        return w + io + scratch + hidden + vecs
+
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     hit = tuning.lookup("mlpblocki8", dtype, (m, d, mlp))
     if hit is not None:
         bm = int(hit["bm"]) or round_up(m, 8)
-        return bm, int(hit["nt"]), int(hit["ct"])
+        nt, ct = int(hit["nt"]), int(hit["ct"])
+        if est_i8(bm, nt, ct, cdiv(m, bm)) <= budget:
+            return bm, nt, ct
+        # Tuned under a roomier budget than this caller's: fall through
+        # to the float planner, which gates every candidate on `budget`
+        # (with the larger float footprint — conservative, always safe).
     return mlp_block_plan(m, d, mlp, itemsize, budget)
 
 
@@ -474,7 +510,8 @@ def mlp_block_plan_i8(m: int, d: int, mlp: int, itemsize: int,
 
 def _mlp_i8dot_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
                       s2_ref, b2_ref, o_ref, xq_ref, ax_ref, acc_ref, *,
-                      eps: float, d: int, nt: int, nc: int, ct: int):
+                      eps: float, d: int, nt: int, nc: int, ct: int,
+                      partial: bool = False):
     """:func:`_mlp_q_kernel` with the dots ALSO in int8: activations are
     dynamically quantized per row (symmetric, max-abs/127) and every matmul
     runs s8 x s8 -> s32 — the MXU's double-rate int8 path (~2x bf16 on
@@ -497,7 +534,9 @@ def _mlp_i8dot_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
                          1e-12) / 127.0
         ax_ref[:] = ax
         xq_ref[:] = jnp.round(xn / ax).astype(jnp.int8)
-        acc_ref[:] = x32 + b2_ref[:].astype(f32)
+        # Zero seed on the TP partial path (residual + b2 added post-psum).
+        acc_ref[:] = (jnp.zeros_like(x32) if partial
+                      else x32 + b2_ref[:].astype(f32))
 
     xq = xq_ref[:]
     ax = ax_ref[:]
@@ -524,14 +563,17 @@ def _mlp_i8dot_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
 def mlp_block_i8dot(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                     w1q: jax.Array, s1: jax.Array, b1: jax.Array,
                     w2q: jax.Array, s2: jax.Array, b2: jax.Array,
-                    *, eps: float = 1e-12,
-                    interpret: bool = False) -> jax.Array:
+                    *, eps: float = 1e-12, interpret: bool = False,
+                    partial_out: bool = False) -> jax.Array:
     """Int8-DOT ``x + fc2(gelu(fc1(LN(x))))``: weights AND activations int8,
     every matmul s8 x s8 -> s32 on the MXU's double-rate path.
 
     Same weight layout as :func:`mlp_block_q`. Numerics match the XLA
     tier's :func:`vit_tpu.quant.int8_matmul` (dynamic per-row activation
     quant), not the float model. Plan-gated like :func:`mlp_block`.
+
+    ``partial_out=True``: tensor-parallel shard form (see
+    :func:`mlp_block_q`).
     """
     *lead, d = x.shape
     mlp = w1q.shape[1]
@@ -545,7 +587,7 @@ def mlp_block_i8dot(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     nc = mt // ct
 
     kernel = functools.partial(_mlp_i8dot_kernel, eps=eps, d=d, nt=nt,
-                               nc=nc, ct=ct)
+                               nc=nc, ct=ct, partial=partial_out)
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(m, bm), nt),
@@ -1150,12 +1192,16 @@ def attn_block_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
 
 # ----------------------------------------------- int8-dot attention block --
 
-def _attn_q_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                   wout_ref, sout_ref, bout_ref, o_ref, *, eps: float,
-                   d: int, sp: int, num_heads: int, head_dim: int,
-                   scale: float, seq_len: int, group: int, precision):
-    """:func:`_attn_kernel` with the QKV and output PROJECTIONS in int8:
-    the LN image and the per-head context are dynamically quantized per
+def _attn_q_core(x32, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                 wout_ref, sout_ref, *, eps: float, dl: int, sp: int,
+                 num_heads: int, head_dim: int, scale: float, seq_len: int,
+                 precision, cdtype):
+    """LN -> int8 QKV -> float MHA -> int8 output projection, fp32 result
+    WITHOUT residual or output bias. ``dl = num_heads * head_dim`` is the
+    projection width — the full hidden dim for the single-device kernel,
+    this shard's head columns for the tensor-parallel partial form.
+
+    The LN image and the per-head context are dynamically quantized per
     row (symmetric max-abs/127, the vit_tpu.quant scheme) and the four
     projection dots run s8 x s8 -> s32 on the MXU's double-rate path.
     The attention CORE (scores, softmax, context) stays float — its
@@ -1163,52 +1209,87 @@ def _attn_q_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     to fold a quantization into, and it is the accuracy-critical part.
     """
     f32 = jnp.float32
-    cdtype = x_ref.dtype
+    xn = _ln32(x32, g_ref, b_ref, eps)
+    ax = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.round(xn / ax).astype(jnp.int8)
+
+    proj = []
+    for p_i in range(3):
+        cols = slice(p_i * dl, (p_i + 1) * dl)
+        z = jax.lax.dot_general(
+            xq, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        z = (z.astype(f32) * ax * sqkv_ref[:, cols]
+             + bqkv_ref[:, cols].astype(f32))
+        proj.append(z.astype(cdtype))
+    q_all, k_all, v_all = proj
+
+    parts = []
+    for h in range(num_heads):
+        hs = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=precision) * scale
+        if seq_len != sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len, s, float("-inf"))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(cdtype), v_all[:, hs], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        parts.append(ctx / l)
+    ctx_all = jnp.concatenate(parts, axis=1)  # fp32
+
+    ac = jnp.maximum(jnp.max(jnp.abs(ctx_all), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    cq = jnp.round(ctx_all / ac).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        cq, wout_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return out.astype(f32) * ac * sout_ref[:]
+
+
+def _attn_q_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                   wout_ref, sout_ref, bout_ref, o_ref, *, eps: float,
+                   d: int, sp: int, num_heads: int, head_dim: int,
+                   scale: float, seq_len: int, group: int, precision):
+    """:func:`_attn_kernel` with the QKV and output PROJECTIONS in int8
+    (see :func:`_attn_q_core` for the quantization scheme)."""
     for g in range(group):
         rows = slice(g * sp, (g + 1) * sp)
-        x32 = x_ref[rows, :].astype(f32)
-        xn = _ln32(x32, g_ref, b_ref, eps)
-        ax = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True),
-                         1e-12) / 127.0
-        xq = jnp.round(xn / ax).astype(jnp.int8)
-
-        proj = []
-        for p_i in range(3):
-            cols = slice(p_i * d, (p_i + 1) * d)
-            z = jax.lax.dot_general(
-                xq, wqkv_ref[:, cols], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            z = (z.astype(f32) * ax * sqkv_ref[:, cols]
-                 + bqkv_ref[:, cols].astype(f32))
-            proj.append(z.astype(cdtype))
-        q_all, k_all, v_all = proj
-
-        parts = []
-        for h in range(num_heads):
-            hs = slice(h * head_dim, (h + 1) * head_dim)
-            s = jax.lax.dot_general(
-                q_all[:, hs], k_all[:, hs], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=precision) * scale
-            if seq_len != sp:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < seq_len, s, float("-inf"))
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            ctx = jax.lax.dot_general(
-                p.astype(cdtype), v_all[:, hs], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=precision)
-            parts.append(ctx / l)
-        ctx_all = jnp.concatenate(parts, axis=1)  # fp32
-
-        ac = jnp.maximum(jnp.max(jnp.abs(ctx_all), axis=-1, keepdims=True),
-                         1e-12) / 127.0
-        cq = jnp.round(ctx_all / ac).astype(jnp.int8)
-        out = jax.lax.dot_general(
-            cq, wout_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out = out.astype(f32) * ac * sout_ref[:] + bout_ref[:].astype(f32)
+        x32 = x_ref[rows, :].astype(jnp.float32)
+        out = _attn_q_core(
+            x32, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wout_ref,
+            sout_ref, eps=eps, dl=d, sp=sp, num_heads=num_heads,
+            head_dim=head_dim, scale=scale, seq_len=seq_len,
+            precision=precision, cdtype=x_ref.dtype)
+        out = out + bout_ref[:].astype(jnp.float32)
         o_ref[rows, :] = (out + x32).astype(o_ref.dtype)
+
+
+def _attn_q_partial_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
+                           bqkv_ref, wout_ref, sout_ref, o_ref, *,
+                           eps: float, d: int, dl: int, sp: int,
+                           num_heads: int, head_dim: int, scale: float,
+                           seq_len: int, group: int, precision):
+    """Tensor-parallel shard form of :func:`_attn_q_kernel`: this shard's
+    LOCAL heads through LN -> int8 QKV_shard -> float MHA -> int8
+    proj_shard, emitting the output-projection PARTIAL SUM (no residual,
+    no output bias — the caller adds both once after the cross-shard
+    ``lax.psum``; see :mod:`vit_tpu.parallel.tp_pallas`). The per-output-
+    channel ``sout`` scale distributes over the shard sum, so applying it
+    per shard is exact."""
+    for g in range(group):
+        rows = slice(g * sp, (g + 1) * sp)
+        out = _attn_q_core(
+            x_ref[rows, :].astype(jnp.float32), g_ref, b_ref, wqkv_ref,
+            sqkv_ref, bqkv_ref, wout_ref, sout_ref, eps=eps, dl=dl, sp=sp,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            seq_len=seq_len, precision=precision, cdtype=x_ref.dtype)
+        o_ref[rows, :] = out.astype(o_ref.dtype)
 
 
 def attn_block_q_plan(b: int, sp: int, d: int, num_heads: int,
@@ -1247,7 +1328,11 @@ def attn_block_q_plan(b: int, sp: int, d: int, num_heads: int,
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     hit = tuning.lookup("attnqblock", dtype, (b, sp, d, num_heads))
     if hit is not None:
-        g = int(hit["group"])
+        # Clamp to >=1 before walking down: feasible() is False for every
+        # non-positive g, so a corrupt/hand-edited entry storing group<=0
+        # must not loop forever. g=1 is always feasible here (the
+        # w+per_batch<=budget gate above already admitted it).
+        g = max(int(hit["group"]), 1)
         while not feasible(g):
             g -= 1
         return g
@@ -1320,6 +1405,103 @@ def attn_block_q(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
       wqkv_q, sqkv.reshape(1, 3 * d).astype(jnp.float32),
       bqkv.reshape(1, 3 * d),
       wout_q, sout.reshape(1, d).astype(jnp.float32), bout.reshape(1, d))
+    return out.reshape(b, sp, d)
+
+
+# -------------------------------- tensor-parallel int8 attention partial --
+
+def attn_block_q_partial_plan(b: int, sp: int, d: int, dl: int,
+                              itemsize: int, budget: int = _VMEM_BUDGET):
+    """``{"group": g}`` plan for :func:`attn_block_q_partial`, or None.
+
+    Sized with the REAL int8 weight footprint (the shard's 4*d*dl bytes)
+    plus the xq/cq int8 row scratch — the int8 counterpart of
+    :func:`attn_block_partial_plan`; ``dl`` must be lane-aligned so the
+    per-head column slices tile."""
+    if d % 128 or dl % 128 or sp % 8:
+        return None
+    w = 4 * d * dl + 4 * (3 * dl + d)               # int8 weights + scales
+    per_batch = (2 * 2 * sp * d * itemsize          # x + out dbuf
+                 + sp * dl * (4 + 3 * itemsize)     # fp32 z + q/k/v
+                 + sp * sp * 4 * 2                  # scores + probs fp32
+                 + sp * dl * 4                      # ctx fp32
+                 + sp * (d + dl))                   # xq + cq int8
+    if w + per_batch > budget:
+        return None
+    group = b
+    while b % group or w + group * per_batch > budget:
+        group -= 1
+    return {"group": group}
+
+
+def attn_block_q_partial(x: jax.Array, ln_scale: jax.Array,
+                         ln_bias: jax.Array, wqkv_q: jax.Array,
+                         sqkv: jax.Array, bqkv: jax.Array,
+                         wout_q: jax.Array, sout: jax.Array, *,
+                         num_heads: int, scale: float | None = None,
+                         seq_len: int | None = None, eps: float = 1e-12,
+                         interpret: bool = False) -> jax.Array:
+    """``proj_shard(MHA_shard(LN(x)))`` with int8 projections — one TP
+    shard's attention half on the quant tier.
+
+    ``x``: (B, S, D) replicated over 'model'; ``wqkv_q``: (D, 3*dl) int8
+    packed ``[q_s|k_s|v_s]`` head-major (``dl = local_heads * head_dim``),
+    with fp32 scales ``sqkv`` (3*dl,) and bias ``bqkv`` (3*dl,);
+    ``wout_q``: (dl, D) int8 with fp32 scale ``sout`` (D,) — per-OUTPUT-
+    channel, so replicated across shards and exact under the shard sum.
+    Returns the partial sum to ``lax.psum`` over 'model'; residual and
+    output bias are NOT included (add once post-psum)."""
+    b, sp, d = x.shape
+    dl = wqkv_q.shape[1] // 3
+    hd = dl // num_heads
+    assert wqkv_q.dtype == jnp.int8 and wout_q.dtype == jnp.int8
+    assert wqkv_q.shape == (d, 3 * dl) and wout_q.shape == (dl, d), (
+        wqkv_q.shape, wout_q.shape)
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = sp
+    plan = attn_block_q_partial_plan(b, sp, d, dl, x.dtype.itemsize)
+    assert plan is not None, (b, sp, d, dl, x.dtype)
+    group = plan["group"]
+    xf = x.reshape(b * sp, d)
+
+    kernel = functools.partial(
+        _attn_q_partial_kernel, eps=eps, d=d, dl=dl, sp=sp,
+        num_heads=num_heads, head_dim=hd, scale=scale, seq_len=seq_len,
+        group=group, precision=_dot_precision(x.dtype))
+    blk = pl.BlockSpec((group * sp, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            blk,                                            # x
+            vec(d), vec(d),                                 # ln scale/bias
+            pl.BlockSpec((d, 3 * dl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wqkv int8 shard
+            vec(3 * dl),                                    # sqkv fp32
+            vec(3 * dl),                                    # bqkv shard
+            pl.BlockSpec((dl, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # wout int8 shard
+            vec(d),                                         # sout fp32
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=29 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 4 * dl + 4 * b * sp * sp * dl,
+            bytes_accessed=2 * b * sp * d * x.dtype.itemsize + 4 * d * dl,
+            transcendentals=b * sp * sp),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+      wqkv_q, sqkv.reshape(1, 3 * dl).astype(jnp.float32),
+      bqkv.reshape(1, 3 * dl),
+      wout_q, sout.reshape(1, d).astype(jnp.float32))
     return out.reshape(b, sp, d)
 
 
@@ -1759,31 +1941,38 @@ def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
                     o_ref[:] = xcur_ref[:]
 
 
+def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
+                    cq: int, mt: int, budget: int):
+    """VMEM-feasibility of an encoder-stack (cq, mt) tile config: the whole
+    (B*sp, D) activation plus its fp32 MLP accumulator and packed QKV must
+    be resident alongside the double-buffered weight tiles of two
+    consecutive layers. Returns the full plan dict or None."""
+    if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
+        return None
+    m = b * sp
+    w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * itemsize
+    scratch = m * d * (2 * itemsize + 4) + 3 * m * d * itemsize
+    io = 2 * m * d * itemsize
+    temps = (m * cq * 4                     # z fp32 (all rows at once)
+             + sp * sp * 4 * 2              # scores + probs
+             + sp * d * 4                   # ctx / out fp32
+             + m * mt * (4 + itemsize))     # mlp hidden
+    if w + scratch + io + temps > budget:
+        return None
+    return {"cq": cq, "nq": 3 * d // cq, "mt": mt, "nt": mlp // mt}
+
+
 def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
                        itemsize: int, budget: int = _VMEM_BUDGET):
     """``{"cq", "nq", "mt", "nt"}`` for :func:`encoder_stack`, or None.
 
-    Small-batch only: the whole (B*sp, D) activation plus its fp32 MLP
-    accumulator and packed QKV must be VMEM-resident alongside the
-    double-buffered weight tiles of two consecutive layers.
+    Small-batch only (see :func:`_stack_feasible` for the VMEM model).
     """
     if d % 128 or sp % 8 or d % num_heads or mlp % 128:
         return None
-    m = b * sp
 
     def feasible(cq, mt):
-        if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
-            return None
-        w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * itemsize
-        scratch = m * d * (2 * itemsize + 4) + 3 * m * d * itemsize
-        io = 2 * m * d * itemsize
-        temps = (m * cq * 4                     # z fp32 (all rows at once)
-                 + sp * sp * 4 * 2              # scores + probs
-                 + sp * d * 4                   # ctx / out fp32
-                 + m * mt * (4 + itemsize))     # mlp hidden
-        if w + scratch + io + temps > budget:
-            return None
-        return {"cq": cq, "nq": 3 * d // cq, "mt": mt, "nt": mlp // mt}
+        return _stack_feasible(b, sp, d, mlp, itemsize, cq, mt, budget)
 
     env = os.environ.get("VIT_TPU_STACK_PLAN")
     if env:
@@ -1823,6 +2012,41 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
             if plan is not None:
                 return plan
     return None
+
+
+def encoder_stack_plan_q(b: int, sp: int, d: int, mlp: int, num_heads: int,
+                         itemsize: int, budget: int = _VMEM_BUDGET):
+    """Stack-vs-layers ROUTE + plan for the int8 tier: the plan for
+    :func:`encoder_stack_q`, or None to run the per-layer stacked int8
+    kernels instead.
+
+    The int8 stack halves the weight DMA but pays an int8->float cast per
+    weight tile on the VPU, and its best (cq, mt) differs from the float
+    winner's — measured on v5e B/16 bf16 (round-4 probe): bs=1 per-layer
+    stacked int8-dot 0.286 ms vs stack 0.313 (float-tuned plan); bs=2
+    per-layer 0.460 vs 0.646 on the float-tuned (768,768) and 0.463 on
+    the int8-best (2304,768). So the quant tier routes on its OWN tuned
+    entries (op ``encstackq``): ``{"route": "layers"}`` pins the
+    per-layer path, ``{"cq","mt"}`` pins the stack with that plan. A
+    ``VIT_TPU_STACK_PLAN`` env force and geometries without an entry
+    resolve through the float :func:`encoder_stack_plan` (same VMEM
+    model, same Mosaic-cliff geometry gate).
+    """
+    if d % 128 or sp % 8 or d % num_heads or mlp % 128:
+        return None
+    if os.environ.get("VIT_TPU_STACK_PLAN"):
+        return encoder_stack_plan(b, sp, d, mlp, num_heads, itemsize, budget)
+    from vit_tpu.ops.pallas import tuning
+    dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
+    hit = tuning.lookup("encstackq", dtype, (b, sp, d, mlp, num_heads))
+    if hit is not None:
+        if hit.get("route") == "layers":
+            return None
+        plan = _stack_feasible(b, sp, d, mlp, itemsize,
+                               int(hit["cq"]), int(hit["mt"]), budget)
+        if plan is not None:
+            return plan
+    return encoder_stack_plan(b, sp, d, mlp, num_heads, itemsize, budget)
 
 
 def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
@@ -2031,8 +2255,9 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
     ``qenc`` = scan-stacked encoder pytree from
     :func:`vit_tpu.quant.quantize_params`: each of qkv/out/fc1/fc2 has
     ``kernel = {"q": int8, "scale": fp32 per-output-channel}``. Same
-    schedule/gating as :func:`encoder_stack` (the float plan over-estimates
-    the int8 weight VMEM, so any plan it returns is safe)."""
+    schedule as :func:`encoder_stack`, gated/planned by
+    :func:`encoder_stack_plan_q` (any plan the shared VMEM model admits
+    for float weights is safe for the smaller int8 ones)."""
     b, sp, d = x.shape
     L, _, three_d = qenc["qkv"]["kernel"]["q"].shape
     mlp = qenc["fc1"]["kernel"]["q"].shape[2]
@@ -2042,7 +2267,7 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
         scale = hd ** -0.5
     if seq_len is None:
         seq_len = sp
-    plan = encoder_stack_plan(b, sp, d, mlp, num_heads, x.dtype.itemsize)
+    plan = encoder_stack_plan_q(b, sp, d, mlp, num_heads, x.dtype.itemsize)
     assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
     cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
     m = b * sp

@@ -65,16 +65,23 @@ def repack_qkv_headmajor(params: Params, model: int) -> Params:
     """
     if model == 1:
         return params
+
+    def cols(a):  # repack a (..., 3D) trailing axis head-major
+        *lead, d3 = a.shape
+        dl = d3 // 3 // model
+        a = a.reshape(*lead, 3, model, dl)
+        perm = (*range(len(lead)), len(lead) + 1, len(lead), len(lead) + 2)
+        return a.transpose(perm).reshape(*lead, d3)
+
     qkv = params["encoder"]["qkv"]
-    l, d, d3 = qkv["kernel"].shape
-    dl = d3 // 3 // model
-    k = qkv["kernel"].reshape(l, d, 3, model, dl)
-    k = k.transpose(0, 1, 3, 2, 4).reshape(l, d, d3)
-    b = qkv["bias"].reshape(l, 3, model, dl)
-    b = b.transpose(0, 2, 1, 3).reshape(l, d3)
+    kern = qkv["kernel"]
+    if isinstance(kern, dict):  # int8 tier: {"q": (L,D,3D), "scale": (L,3D)}
+        kern = {"q": cols(kern["q"]), "scale": cols(kern["scale"])}
+    else:
+        kern = cols(kern)
     out = dict(params)
     out["encoder"] = dict(params["encoder"])
-    out["encoder"]["qkv"] = {"kernel": k, "bias": b}
+    out["encoder"]["qkv"] = {"kernel": kern, "bias": cols(qkv["bias"])}
     return out
 
 
@@ -110,15 +117,57 @@ def _mlp_partial_ref(x, lp, *, eps):
     return reference.matmul(h, lp["fc2"]["kernel"])
 
 
+def _attn_partial_q_ref(x, lp, *, num_heads_local, head_dim, seq_len, eps):
+    """Int8 composed fallback for the attention partial — the XLA quant
+    tier's :func:`vit_tpu.quant.int8_matmul` numerics, shard form (no
+    residual, no output bias)."""
+    from vit_tpu.quant import int8_matmul
+
+    b, s, d = x.shape
+    dl = num_heads_local * head_dim
+    xn = reference.layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                             eps=eps)
+    qkv = int8_matmul(xn, lp["qkv"]["kernel"], lp["qkv"]["bias"])
+    qkv = qkv.reshape(b, s, 3, num_heads_local, head_dim)
+    q, k, v = qkv.transpose(2, 0, 3, 1, 4)
+    ctx = reference.attention(q, k, v, scale=head_dim ** -0.5,
+                              seq_len=seq_len)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, dl)
+    return int8_matmul(ctx, lp["out"]["kernel"])
+
+
+def _mlp_partial_q_ref(x, lp, *, eps):
+    """Int8 composed fallback for the MLP partial (no residual, no b2)."""
+    from vit_tpu.quant import int8_matmul
+
+    h = reference.layernorm(x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                            eps=eps)
+    h = int8_matmul(h, lp["fc1"]["kernel"], lp["fc1"]["bias"], "gelu")
+    return int8_matmul(h, lp["fc2"]["kernel"])
+
+
 def make_tp_forward(cfg: ViTConfig, mesh: Mesh, *,
-                    interpret: bool | None = None, jit: bool = True):
+                    interpret: bool | None = None, jit: bool = True,
+                    quant: bool = False):
     """Build the DPxTP forward for the pallas tier.
 
     Returns ``fn(tp_params, pixels)`` (jitted unless ``jit=False``) where
     ``tp_params`` came from :func:`prepare_tp_params` and ``pixels`` is
     (B, C, H, W) with B a multiple of the 'data' axis. Output matches the
     single-device :func:`vit_tpu.models.vit.forward` contract.
+
+    ``quant=True``: the int8 tier — ``tp_params`` is a
+    :func:`vit_tpu.quant.quantize_params` pytree (run through
+    :func:`prepare_tp_params`, which head-major-repacks the int8 QKV and
+    its scales). Each shard runs the int8 partial mega-kernels
+    (s8 x s8 -> s32 dots, fp32 partial sums) and the same one-psum-per-
+    half collective schedule; output matches the single-device
+    :func:`vit_tpu.quant.forward_quant` to within activation-quant noise
+    (the per-shard context rows are max-abs-scaled over dl columns
+    instead of D).
     """
+    import os
+
     model = mesh.shape["model"]
     assert cfg.num_heads % model == 0, (cfg.num_heads, model)
     assert cfg.mlp_dim % model == 0, (cfg.mlp_dim, model)
@@ -137,34 +186,65 @@ def make_tp_forward(cfg: ViTConfig, mesh: Mesh, *,
             x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         b = x.shape[0]
         # Static per-shape gates — identical on every shard (shapes are).
-        attn_kernel = _blk.attn_block_partial_plan(
-            b, sp, cfg.hidden_dim, dl, itemsize) is not None
-        mlp_kernel = _blk.mlp_block_plan(
-            b * sp, cfg.hidden_dim, mlp_l, itemsize) is not None
+        if quant:
+            attn_kernel = _blk.attn_block_q_partial_plan(
+                b, sp, cfg.hidden_dim, dl, itemsize) is not None
+            mlp_kernel = _blk.mlp_block_plan_i8(
+                b * sp, cfg.hidden_dim, mlp_l, itemsize) is not None
+            i8dot = os.environ.get("VIT_TPU_INT8_DOT") != "0"
+        else:
+            attn_kernel = _blk.attn_block_partial_plan(
+                b, sp, cfg.hidden_dim, dl, itemsize) is not None
+            mlp_kernel = _blk.mlp_block_plan(
+                b * sp, cfg.hidden_dim, mlp_l, itemsize) is not None
 
-        def body(x, lp):
+        def attn_partial(x, lp):
+            if quant and attn_kernel:
+                kq, ko = lp["qkv"]["kernel"], lp["out"]["kernel"]
+                return _blk.attn_block_q_partial(
+                    x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                    kq["q"], kq["scale"], lp["qkv"]["bias"],
+                    ko["q"], ko["scale"], num_heads=nh_l,
+                    scale=cfg.head_dim ** -0.5, seq_len=s, eps=eps,
+                    interpret=interp)
+            if quant:
+                return _attn_partial_q_ref(x, lp, num_heads_local=nh_l,
+                                           head_dim=cfg.head_dim,
+                                           seq_len=s, eps=eps)
             if attn_kernel:
-                y = _blk.attn_block_partial(
+                return _blk.attn_block_partial(
                     x, lp["ln1"]["scale"], lp["ln1"]["bias"],
                     lp["qkv"]["kernel"], lp["qkv"]["bias"],
                     lp["out"]["kernel"], num_heads=nh_l,
                     scale=cfg.head_dim ** -0.5, seq_len=s, eps=eps,
                     interpret=interp)
-            else:
-                y = _attn_partial_ref(x, lp, num_heads_local=nh_l,
-                                      head_dim=cfg.head_dim, seq_len=s,
-                                      eps=eps)
-            y = jax.lax.psum(y, "model")
-            x = x + y + lp["out"]["bias"].astype(x.dtype)
+            return _attn_partial_ref(x, lp, num_heads_local=nh_l,
+                                     head_dim=cfg.head_dim, seq_len=s,
+                                     eps=eps)
+
+        def mlp_partial(x, lp):
+            if quant and mlp_kernel:
+                k1, k2 = lp["fc1"]["kernel"], lp["fc2"]["kernel"]
+                kern = _blk.mlp_block_i8dot if i8dot else _blk.mlp_block_q
+                return kern(
+                    x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                    k1["q"], k1["scale"], lp["fc1"]["bias"],
+                    k2["q"], k2["scale"], lp["fc2"]["bias"], eps=eps,
+                    interpret=interp, partial_out=True)
+            if quant:
+                return _mlp_partial_q_ref(x, lp, eps=eps)
             if mlp_kernel:
-                z = _blk.mlp_block(
+                return _blk.mlp_block(
                     x, lp["ln2"]["scale"], lp["ln2"]["bias"],
                     lp["fc1"]["kernel"], lp["fc1"]["bias"],
                     lp["fc2"]["kernel"], lp["fc2"]["bias"], eps=eps,
                     interpret=interp, partial_out=True)
-            else:
-                z = _mlp_partial_ref(x, lp, eps=eps)
-            z = jax.lax.psum(z, "model")
+            return _mlp_partial_ref(x, lp, eps=eps)
+
+        def body(x, lp):
+            y = jax.lax.psum(attn_partial(x, lp), "model")
+            x = x + y + lp["out"]["bias"].astype(x.dtype)
+            z = jax.lax.psum(mlp_partial(x, lp), "model")
             x = x + z + lp["fc2"]["bias"].astype(x.dtype)
             return x, None
 

@@ -273,10 +273,14 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
     b, d = x.shape[0], cfg.hidden_dim
     stack = None
     if pallas:
-        from vit_tpu.ops.pallas.block import (encoder_stack_plan,
+        from vit_tpu.ops.pallas.block import (encoder_stack_plan_q,
                                               encoder_stack_q)
-        stack = encoder_stack_plan(b, sp, d, cfg.mlp_dim, cfg.num_heads,
-                                   x.dtype.itemsize)
+        # The quant tier routes stack-vs-layers on its OWN tuned entries
+        # (op "encstackq"): on v5e B/16 the per-layer stacked int8-dot
+        # path beats the whole-encoder int8 stack at bs<=2 (0.286 vs
+        # 0.313 ms at bs=1) — the opposite of the float tier's answer.
+        stack = encoder_stack_plan_q(b, sp, d, cfg.mlp_dim, cfg.num_heads,
+                                     x.dtype.itemsize)
     if stack:
         # Small-batch latency path: the whole encoder as ONE kernel with
         # int8 weight streaming — half the bf16 weight traffic that sets

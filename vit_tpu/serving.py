@@ -27,7 +27,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vit_tpu.config import ViTConfig
 from vit_tpu.models.vit import Params, forward
@@ -79,6 +79,7 @@ class Predictor:
             self.buckets = tuple(sorted(set(buckets)))
             self.params = params
             self._in_sharding = None
+            self._exec_fwd = fwd
             self._fn = jax.jit(fwd)
         else:
             from vit_tpu.parallel import (batch_sharding, param_shardings,
@@ -88,27 +89,22 @@ class Predictor:
                                          for b in buckets}))
             self._in_sharding = batch_sharding(mesh)
             pallas = resolve_impl(impl) == "pallas"
-            if pallas and mesh.shape["model"] > 1 and not quant:
-                # Float tensor parallelism on the kernel tier: explicit
-                # Megatron decomposition under shard_map — partial-sum
-                # mega-kernels + one psum per block half
+            if pallas and mesh.shape["model"] > 1:
+                # Tensor parallelism on the kernel tier (float OR int8):
+                # explicit Megatron decomposition under shard_map —
+                # partial-sum mega-kernels + one psum per block half
                 # (vit_tpu/parallel/tp_pallas.py). Params get the
-                # head-major QKV repack that tier requires.
+                # head-major QKV repack that tier requires (the int8
+                # variant repacks the quantized kernel and its scales).
                 from vit_tpu.parallel.tp_pallas import (make_tp_forward,
                                                         prepare_tp_params)
                 self.params = prepare_tp_params(params, cfg, mesh)
-                fwd = make_tp_forward(cfg, mesh, jit=False)
+                fwd = make_tp_forward(cfg, mesh, jit=False, quant=quant)
             elif pallas:
                 # Pallas kernels otherwise run batch-DP: shard the batch
                 # explicitly so each chip runs the single-device program on
                 # its shard (no collectives needed for inference). Params
                 # are replicated on this path, so their in_spec is P().
-                # The int8 mega-kernels stay DP-only on this tier (their TP
-                # runs on the XLA tier — param_shardings understands
-                # quantized kernels).
-                assert mesh.shape["model"] == 1, (
-                    "pallas+quant serving shards the batch only; use "
-                    "impl='xla' for int8 tensor parallelism")
                 self.params = jax.device_put(params, replicate(mesh))
                 fwd = jax.shard_map(fwd, mesh=mesh,
                                     in_specs=(P(), P("data")),
@@ -117,6 +113,7 @@ class Predictor:
             else:
                 self.params = jax.device_put(
                     params, param_shardings(params, mesh, cfg))
+            self._exec_fwd = fwd
             self._fn = jax.jit(fwd)
 
         if precompile:
@@ -146,23 +143,37 @@ class Predictor:
         synced call costs ~25 ms of RPC, that is the difference between
         RPC-bound and compute-bound serving. The padded input buffer is
         donated: the caller-visible array is always framework-owned (see
-        ``__call__``), and XLA reuses its pages for activations."""
+        ``__call__``), and XLA reuses its pages for activations.
+
+        On a mesh the same executor wraps the mesh-aware forward
+        (shard_map DP / explicit TP / GSPMD): chunks are re-constrained to
+        the batch sharding after each slice so the per-bucket programs see
+        their expected layouts, and a multi-bucket request still pays the
+        RPC floor once, not once per chunk."""
         groups: list[list[int]] = []
         for b in sig:
             if groups and groups[-1][0] == b:
                 groups[-1][1] += 1
             else:
                 groups.append([b, 1])
-        raw = self._raw_fwd
+        raw = self._exec_fwd
+        batch_ns = self._in_sharding
+        stacked_ns = (None if self.mesh is None else
+                      NamedSharding(self.mesh, P(None, "data")))
 
         def run(params, padded):
             outs, off = [], 0
             for b, k in groups:
                 seg = jax.lax.slice_in_dim(padded, off, off + k * b)
                 if k == 1:
+                    if batch_ns is not None:
+                        seg = jax.lax.with_sharding_constraint(seg, batch_ns)
                     res = raw(params, seg)
                 else:
                     seg = seg.reshape(k, b, *padded.shape[1:])
+                    if stacked_ns is not None:
+                        seg = jax.lax.with_sharding_constraint(seg,
+                                                               stacked_ns)
                     res = jax.lax.map(lambda ch: raw(params, ch), seg)
                     res = res.reshape(k * b, *res.shape[2:])
                 outs.append(res)
@@ -180,33 +191,24 @@ class Predictor:
         n = images.shape[0]
         assert n > 0, "empty batch"
 
-        if self._in_sharding is None:
-            plan = tuple(self._plan(n))
-            fn = self._plan_fns.get(plan)
-            if fn is None:
-                fn = self._plan_fns[plan] = self._plan_executor(plan)
-            total = sum(plan)
-            if total > n:
-                pad = jnp.zeros((total - n, *images.shape[1:]),
-                                self.cfg.dtype)
-                images = jnp.concatenate([images, pad], axis=0)
-            elif images is given:
-                # The executor donates its input; never donate a buffer the
-                # caller still owns. One async HBM copy (~µs) buys safety.
-                images = jnp.copy(images)
-            out = fn(self.params, images)
-            return out if total == n else out[:n]
-
-        # Mesh path: per-bucket dispatch (shard_map/GSPMD executables keep
-        # their own input shardings; chunks go out explicitly sharded).
-        outs, off = [], 0
-        for b in self._plan(n):
-            take = min(b, n - off)
-            chunk = images[off:off + take]
-            if take < b:  # pad the tail bucket
-                pad = jnp.zeros((b - take, *images.shape[1:]), self.cfg.dtype)
-                chunk = jnp.concatenate([chunk, pad], axis=0)
-            chunk = jax.device_put(chunk, self._in_sharding)
-            outs.append(self._fn(self.params, chunk)[:take])
-            off += take
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        plan = tuple(self._plan(n))
+        fn = self._plan_fns.get(plan)
+        if fn is None:
+            fn = self._plan_fns[plan] = self._plan_executor(plan)
+        total = sum(plan)
+        if total > n:
+            pad = jnp.zeros((total - n, *images.shape[1:]),
+                            self.cfg.dtype)
+            images = jnp.concatenate([images, pad], axis=0)
+        elif images is given:
+            # The executor donates its input; never donate a buffer the
+            # caller still owns. One async HBM copy (~µs) buys safety.
+            images = jnp.copy(images)
+        if self._in_sharding is not None:
+            # Mesh path: ship the whole padded request out batch-sharded
+            # ONCE; the plan executor slices/reshapes on device (a
+            # multi-bucket request pays this platform's ~27 ms RPC floor
+            # once, not once per chunk).
+            images = jax.device_put(images, self._in_sharding)
+        out = fn(self.params, images)
+        return out if total == n else out[:n]
