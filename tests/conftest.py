@@ -26,12 +26,22 @@ if os.environ.get("VIT_TPU_TEST_ON_TPU", "") in ("", "0"):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-#: Tests measured >=~4 s on a 1-CPU container (full suite ~12 min serial;
-#: `pytest -m "not slow"` keeps a <5-min default profile). Every subsystem
-#: these cover also has fast tests that stay in the default profile; the
-#: slow ones are the full-size / golden / mesh / grad-through-interpret
-#: variants. Regenerate with `pytest -q --durations=0` and update this set.
+#: Tests measured >=~4 s on a 1-CPU container (full suite ~13 min serial;
+#: `pytest -m "not slow"` keeps a <5-min default profile — measured 4m45
+#: round-4). Every subsystem these cover also has fast tests that stay in
+#: the default profile; the slow ones are the full-size / golden / mesh /
+#: grad-through-interpret variants. Regenerate with `pytest -q
+#: --durations=0` and update this set.
 SLOW_TESTS = {
+    "test_forward_quant_pallas_stack_route",
+    "test_int8_tp_forward_matches_single_device",
+    "test_mesh_multibucket_single_dispatch",
+    "test_model_routes_stacked_scan",
+    "test_params_from_safetensors_matches_torch_path",
+    "test_stacked_blocks_grads_match_xla",
+    "test_stacked_blocks_match_sliced_scan",
+    "test_stacked_int8_blocks_match_sliced_scan",
+    "test_tp_pallas_quant_kernel_path_matches",
     "test_attn_block_grads_match_xla",
     "test_attn_block_q_interpret_matches_int8_chain",
     "test_bench_serving_tiny",

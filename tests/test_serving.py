@@ -95,7 +95,11 @@ def test_mesh_serving_pallas_quant_tp(pred, rng):
     got = np.asarray(p(px))
     want = np.asarray(forward_quant(quantize_params(pred.params),
                                     jnp.asarray(px), CFG, impl="xla"))
-    np.testing.assert_allclose(got, want, atol=1e-2)
+    # 3e-2: per-shard rows are max-abs-quantized over dl=24 / mlp_l=48
+    # columns instead of the full width (CFG is a 48-dim toy), so int8
+    # rounding differs from the single-device reference by design; the
+    # error shrinks with real widths (B/16-scale ~1e-3 relative).
+    np.testing.assert_allclose(got, want, atol=3e-2)
 
 
 def test_padding_images_do_not_leak(pred, rng):

@@ -1,0 +1,249 @@
+"""Minimized-repro bisect for the encoder_stack Mosaic scheduling collapse.
+
+The whole-encoder mega-kernel (vit_tpu/ops/pallas/block.py:encoder_stack)
+collapses ~10x on specific (b, cq, mt) combinations on v5e — same code,
+same VMEM model (all cases sit far below the budget). Known cases
+(round-3 sweeps + round-4 probe; B/16 = d 768/mlp 3072/sp 208 bf16):
+
+    FAST      b=1: every plan tried; b=2: (768,768) (768,1024) (768,1536)
+              (2304,768) (384,768); L/16 b=1: (512,1024) (1024,512) (512,512)
+    COLLAPSE  b=2 (768,512) 3.45 ms; b=3 (768,768) ~5 ms; b=4 (384,512)
+              9.37 ms; L/16 b=2 (512,512) 15.6 ms; H/14 b=1 heuristic plan
+
+Neither the grid length T = nq+b+nt nor b alone separates these (b=1
+(768,512) has T=10 and is fast; b=3 (768,768) has T=10 and collapses).
+This tool isolates WHICH ingredient of the kernel triggers the cliff by
+timing stripped-down variants on the SAME grid + BlockSpec structure:
+
+    full    the real encoder_stack (baseline)
+    dma     same grid/BlockSpecs, body only touches each step's weight
+            tile (sum -> accumulator): no scratch rows, no attention.
+            Cliff here => pure DMA-window scheduling.
+    scratch dma + the (m,d)+(3,m,d)+(m,d)f32 scratch allocs and a full-m
+            read-modify-write per step (no per-image row slices).
+    rows    scratch + per-image ROW-SLICE read/write in the b attention
+            steps (dynamic rows, trivial compute — no dots).
+    nodots  rows + the LN work but attention dots replaced by copies.
+
+Run (idle chip):
+    python tools/encstack_minrepro.py --cases 2,768,768 2,768,512 3,768,768 \
+        --variants full dma scratch rows
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
+    """A pallas_call with encoder_stack's exact grid + BlockSpec structure,
+    with the kernel body stripped to `variant`'s ingredient set."""
+    nq, nt = 3 * d // cq, mlp // mt
+    m = b * sp
+    T = nq + b + nt
+    f32 = jnp.float32
+
+    def kernel(x_ref, wqkv_ref, wout_ref, w1_ref, w2_ref, o_ref,
+               xcur_ref, qkv_ref, acc_ref):
+        l = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when((l == 0) & (t == 0))
+        def _():
+            xcur_ref[:] = x_ref[:]
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for j in range(nq):
+            @pl.when(t == j)
+            def _(j=j):
+                w = wqkv_ref[0].astype(f32)
+                if variant == "dma":
+                    acc_ref[0, 0] += jnp.sum(w)
+                else:
+                    # project into the qkv scratch (whole-m write, static
+                    # column window like the real kernel's)
+                    z = jax.lax.dot_general(
+                        xcur_ref[:].astype(f32), w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    start = j * cq
+                    for p in range(3):
+                        lo, hi = max(start, p * d), min(start + cq, (p + 1) * d)
+                        if lo < hi:
+                            qkv_ref[p, :, lo - p * d:hi - p * d] = (
+                                z[:, lo - start:hi - start].astype(qkv_ref.dtype))
+
+        for g in range(b):
+            @pl.when(t == nq + g)
+            def _(g=g):
+                w = wout_ref[0].astype(f32)
+                if variant == "dma":
+                    acc_ref[0, 0] += jnp.sum(w)
+                elif variant == "scratch":
+                    # full-m touch, no per-image row slices
+                    xcur_ref[:] += (qkv_ref[0] * 0.001).astype(xcur_ref.dtype)
+                else:
+                    rows = slice(g * sp, (g + 1) * sp)
+                    q_all = qkv_ref[0, rows, :]
+                    if variant == "rows":
+                        xcur_ref[rows, :] += (q_all * 0.001).astype(
+                            xcur_ref.dtype)
+                    else:  # nodots: LN-ish VPU work + out proj dot
+                        x32 = q_all.astype(f32)
+                        mu = jnp.mean(x32, axis=-1, keepdims=True)
+                        xn = (x32 - mu) * jax.lax.rsqrt(
+                            jnp.mean(jnp.square(x32 - mu), axis=-1,
+                                     keepdims=True) + 1e-12)
+                        out = jax.lax.dot_general(
+                            xn.astype(q_all.dtype), wout_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+                        xcur_ref[rows, :] += out.astype(xcur_ref.dtype)
+
+        for c in range(nt):
+            @pl.when(t == nq + b + c)
+            def _(c=c):
+                w1 = w1_ref[0]
+                w2 = w2_ref[0]
+                if variant == "dma":
+                    acc_ref[0, 0] += (jnp.sum(w1.astype(f32))
+                                      + jnp.sum(w2.astype(f32)))
+                else:
+                    h = jax.lax.dot_general(
+                        xcur_ref[:], w1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    acc_ref[:] += jax.lax.dot_general(
+                        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    if c == nt - 1:
+                        xcur_ref[:] = acc_ref[:].astype(xcur_ref.dtype)
+
+                @pl.when((c == nt - 1) & (l == L - 1))
+                def _():
+                    o_ref[:] = xcur_ref[:]
+
+    last_q, last_m = nq - 1, nt - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(L, T),
+        in_specs=[
+            pl.BlockSpec((m, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),                   # x
+            pl.BlockSpec((1, d, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),                   # wqkv
+            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),                   # wout
+            pl.BlockSpec((1, d, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),                   # w1
+            pl.BlockSpec((1, mt, d),
+                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         memory_space=pltpu.VMEM),                   # w2
+        ],
+        out_specs=pl.BlockSpec((m, d), lambda l, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, d), dtype),
+            pltpu.VMEM((3, m, d), dtype),
+            pltpu.VMEM((m, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cases", nargs="+",
+                    default=["2,768,768", "2,768,512", "3,768,768",
+                             "1,768,512"], help="b,cq,mt triplets")
+    ap.add_argument("--variants", nargs="+",
+                    default=["dma", "scratch", "rows", "nodots", "full"])
+    ap.add_argument("--sp", type=int, default=208)
+    ap.add_argument("-d", type=int, default=768)
+    ap.add_argument("--mlp", type=int, default=3072)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("-L", type=int, default=12)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from vit_tpu.utils.timing import bench_chained
+
+    dtype = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+
+    for case in args.cases:
+        b, cq, mt = map(int, case.split(","))
+        m = b * args.sp
+        x = jnp.asarray(rng.standard_normal((m, args.d)) * 0.05, dtype)
+        wqkv = jnp.asarray(
+            rng.standard_normal((args.L, args.d, 3 * args.d)) * 0.05, dtype)
+        wout = jnp.asarray(
+            rng.standard_normal((args.L, args.d, args.d)) * 0.05, dtype)
+        w1 = jnp.asarray(
+            rng.standard_normal((args.L, args.d, args.mlp)) * 0.05, dtype)
+        w2 = jnp.asarray(
+            rng.standard_normal((args.L, args.mlp, args.d)) * 0.05, dtype)
+        for variant in args.variants:
+            if variant == "full":
+                from vit_tpu.ops.pallas.block import encoder_stack
+                enc = {"ln1": {"scale": jnp.ones((args.L, args.d), dtype),
+                               "bias": jnp.zeros((args.L, args.d), dtype)},
+                       "qkv": {"kernel": wqkv,
+                               "bias": jnp.zeros((args.L, 3 * args.d), dtype)},
+                       "out": {"kernel": wout,
+                               "bias": jnp.zeros((args.L, args.d), dtype)},
+                       "ln2": {"scale": jnp.ones((args.L, args.d), dtype),
+                               "bias": jnp.zeros((args.L, args.d), dtype)},
+                       "fc1": {"kernel": w1,
+                               "bias": jnp.zeros((args.L, args.mlp), dtype)},
+                       "fc2": {"kernel": w2,
+                               "bias": jnp.zeros((args.L, args.d), dtype)}}
+                os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
+
+                def step(c, x, enc=enc, b=b):
+                    out = encoder_stack(
+                        (x * (1 + c * 1e-30)).reshape(b, args.sp, args.d),
+                        enc, num_heads=args.heads, seq_len=args.sp)
+                    return jnp.mean(out).astype(jnp.float32)
+
+                arg = (x,)
+            else:
+                fn = make_variant(variant, b=b, sp=args.sp, d=args.d,
+                                  mlp=args.mlp, L=args.L, cq=cq, mt=mt,
+                                  dtype=dtype)
+
+                def step(c, x, wqkv, wout, w1, w2, fn=fn):
+                    out = fn(x * (1 + c * 1e-30), wqkv, wout, w1, w2)
+                    return jnp.mean(out).astype(jnp.float32)
+
+                arg = (x, wqkv, wout, w1, w2)
+            tag = f"b={b} cq={cq} mt={mt} {variant}"
+            try:
+                ms = bench_chained(step, reps=3, args=arg)
+            except Exception as e:  # noqa: BLE001
+                print(f"{tag}: FAIL {str(e)[:120]}", flush=True)
+                continue
+            finally:
+                os.environ.pop("VIT_TPU_STACK_PLAN", None)
+            print(f"{tag}: {ms:.4f} ms ({ms / args.L * 1e3:.1f} us/layer)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
