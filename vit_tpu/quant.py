@@ -245,13 +245,16 @@ def _block_quant(x: jax.Array, lp: Params, cfg: ViTConfig,
 
 
 def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
-                  *, impl: str | None = "xla") -> jax.Array:
+                  *, impl: str | None = None) -> jax.Array:
     """ViT forward on int8-quantized encoder weights.
 
     Same contract as :func:`vit_tpu.models.vit.forward` (hidden states,
     pooled embedding, or logits per ``cfg``); ``qparams`` comes from
-    :func:`quantize_params`. ``impl="pallas"`` routes the MLP half through
-    the int8 weight-streaming mega-kernel (:func:`mlp_block_q`).
+    :func:`quantize_params`. ``impl=None`` resolves like the float
+    forward's (pallas on TPU — the docs/QUANT.md default; a ``"xla"``
+    default here once made an A/B probe compare pallas-bf16 against
+    xla-int8 and "measure" a 17% int8 regression); ``impl="pallas"``
+    routes through the int8 mega-kernels.
     """
     from vit_tpu.ops import resolve_impl
     pallas = resolve_impl(impl) == "pallas"
@@ -356,7 +359,7 @@ def forward_quant(qparams: Params, pixels: jax.Array, cfg: ViTConfig,
     return x
 
 
-def make_forward_quant(cfg: ViTConfig, *, impl: str | None = "xla",
+def make_forward_quant(cfg: ViTConfig, *, impl: str | None = None,
                        jit: bool = True):
     """Bind config (and optionally jit) — mirror of ``make_forward``."""
     fn = functools.partial(forward_quant, cfg=cfg, impl=impl)
