@@ -440,3 +440,92 @@ def test_model_routes_stacked_scan():
     want = forward(params, px, cfg, impl="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=0)
+
+
+def _fused_stack_case(rng, b=1, n_tok=12, pd=48, sp=16, d=128, heads=2,
+                      L=2, mlp=256, dtype=jnp.float32):
+    arr = lambda *sh, sc=0.1: jnp.asarray(rng.standard_normal(sh) * sc, dtype)
+    enc = _stack_inputs(rng, L=L, d=d, mlp=mlp, dtype=dtype)
+    patches = jnp.asarray(rng.standard_normal((b, n_tok, pd)), dtype)
+    wemb = arr(pd, d, sc=0.3)
+    base = jnp.concatenate(
+        [arr(1 + n_tok, d, sc=0.5), jnp.zeros((sp - 1 - n_tok, d), dtype)])
+    lnf = {"scale": arr(d, sc=0.2) + 1, "bias": arr(d)}
+    return patches, enc, wemb, base, lnf
+
+
+def _fused_stack_composed(patches, enc, wemb, base, lnf, *, heads, sp,
+                          seq_len):
+    """Independent jnp oracle: embed assembly -> XLA stack -> final LN."""
+    b, n, _ = patches.shape
+    d = wemb.shape[1]
+    z = jnp.einsum("bnk,kd->bnd", patches, wemb,
+                   preferred_element_type=jnp.float32)
+    x = jnp.broadcast_to(base.astype(jnp.float32), (b, sp, d))
+    x = x.at[:, 1:1 + n].add(z).astype(patches.dtype)
+    x = ops.encoder_stack(x, enc, num_heads=heads, seq_len=seq_len,
+                          impl="xla")
+    return reference.layernorm(x, lnf["scale"], lnf["bias"])
+
+
+def test_encoder_stack_fused_matches_composed():
+    """Embed-folded whole-encoder kernel (patch proj + encoder + final LN
+    in ONE pallas_call) == the composed embed -> XLA stack -> LN chain."""
+    rng = np.random.default_rng(12)
+    args = _fused_stack_case(rng)
+    sp, seq_len, heads = 16, 13, 2
+    got = ops.encoder_stack_fused(*args, num_heads=heads, sp=sp,
+                                  seq_len=seq_len)
+    want = _fused_stack_composed(*args, heads=heads, sp=sp, seq_len=seq_len)
+    np.testing.assert_allclose(np.asarray(got[:, :seq_len]),
+                               np.asarray(want[:, :seq_len]),
+                               atol=5e-4, rtol=0)
+
+
+def test_encoder_stack_fused_grads_match_xla():
+    rng = np.random.default_rng(13)
+    args = _fused_stack_case(rng, L=1)
+    sp, seq_len, heads = 16, 13, 2
+
+    def loss(fused):
+        def f(patches, enc, wemb, base, lnf):
+            out = (ops.encoder_stack_fused(patches, enc, wemb, base, lnf,
+                                           num_heads=heads, sp=sp,
+                                           seq_len=seq_len)
+                   if fused else
+                   _fused_stack_composed(patches, enc, wemb, base, lnf,
+                                         heads=heads, sp=sp,
+                                         seq_len=seq_len))
+            return jnp.sum(out[:, :seq_len] ** 2).astype(jnp.float32)
+        return f
+
+    gp = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4))(*args)
+    gx = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_model_routes_fold_embed(monkeypatch):
+    """forward() with the embed fold on == off (the fold gate:
+    models/vit.py VIT_TPU_FOLD_EMBED + ops.stack_fused_plan)."""
+    from vit_tpu.config import ViTConfig
+    from vit_tpu.models.vit import forward, init_params
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_dim=256,
+                    num_heads=4, num_layers=2, mlp_dim=512)
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(14)
+    px = jnp.asarray(rng.standard_normal((1, 3, 32, 32)), jnp.float32)
+    it = jnp.dtype(cfg.dtype).itemsize
+    from vit_tpu.models.vit import _padded_seq
+    sp = _padded_seq(cfg, "pallas", "flash")
+    assert ops.stack_fused_plan(1, cfg.num_patches, cfg.patch_dim, sp,
+                                cfg.hidden_dim, cfg.mlp_dim,
+                                cfg.num_heads, it)
+    monkeypatch.setenv("VIT_TPU_FOLD_EMBED", "1")
+    got = forward(params, px, cfg, impl="pallas")
+    monkeypatch.setenv("VIT_TPU_FOLD_EMBED", "0")
+    want = forward(params, px, cfg, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=0)

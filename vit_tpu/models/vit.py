@@ -28,6 +28,7 @@ no pooler (output (B, 197, 768) for B/16, like HF
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -265,6 +266,38 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
     - logits (B, num_classes)            — ``num_classes > 0``.
     """
     s, sp = cfg.seq_len, _padded_seq(cfg, impl, attention)
+    b = pixels.shape[0]
+    it = jnp.dtype(cfg.dtype).itemsize
+    if (fused and attention == "flash"
+            and ops.resolve_impl(impl) == "pallas"
+            and cfg.num_prefix_tokens == 1
+            and os.environ.get("VIT_TPU_FOLD_EMBED", "1") != "0"
+            and ops.stack_fused_plan(b, cfg.num_patches, cfg.patch_dim, sp,
+                                     cfg.hidden_dim, cfg.mlp_dim,
+                                     cfg.num_heads, it)):
+        # Smallest-batch latency path: patch embed + the WHOLE encoder +
+        # the final LN as ONE Pallas kernel — the embed matmul runs in
+        # step (0,0) while layer 0's first weight window streams in, and
+        # neither the embedding nor the pre-LN hidden states ever exist
+        # in HBM (round-3 VERDICT item 7: the 0.25 ms front/tail never
+        # overlapped the encoder).
+        e = params["embeddings"]
+        dt = cfg.dtype
+        d = cfg.hidden_dim
+        patches = ops.patchify(pixels.astype(dt), cfg.patch_size,
+                               impl="xla")
+        patches = jax.lax.optimization_barrier(patches)
+        pos = e["position_embeddings"].reshape(s, d).astype(dt)
+        bias = e["patch_embed"]["bias"].astype(dt)
+        base = jnp.concatenate(
+            [e["cls_token"].reshape(1, d).astype(dt) + pos[0:1],
+             pos[1:] + bias,
+             jnp.zeros((sp - s, d), dt)], axis=0)
+        x = ops.encoder_stack_fused(
+            patches, params["encoder"], e["patch_embed"]["kernel"],
+            base, params["ln_final"], num_heads=cfg.num_heads, sp=sp,
+            scale=cfg.head_dim ** -0.5, seq_len=s, eps=cfg.layernorm_eps)
+        return _forward_tail(x, params, cfg, s, sp, impl)
     x = embed(params, pixels, cfg, impl=impl, sp=sp if sp != s else None)
     if x.shape[1] != sp:
         # Run the WHOLE encoder at a sublane-aligned token count: padded
@@ -275,7 +308,6 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
         # (The fused embed kernel emits the padded matrix directly.)
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
-    b = x.shape[0]
     if (fused and attention == "flash"
             and ops.resolve_impl(impl) == "pallas"
             and ops.stack_plan(b, sp, cfg.hidden_dim, cfg.mlp_dim,
@@ -330,6 +362,14 @@ def forward(params: Params, pixels: jax.Array, cfg: ViTConfig, *,
         x, _ = jax.lax.scan(body, x, params["encoder"])
     x = ops.layernorm(x, params["ln_final"]["scale"], params["ln_final"]["bias"],
                       eps=cfg.layernorm_eps, impl=impl)
+    return _forward_tail(x, params, cfg, s, sp, impl)
+
+
+def _forward_tail(x: jax.Array, params: Params, cfg: ViTConfig, s: int,
+                  sp: int, impl: str | None) -> jax.Array:
+    """Post-final-LN tail shared by the forward paths: slice the sublane
+    pad off, then pool/classify per ``cfg`` (reference vit/vit.py:240-247
+    returns the hidden states; pooling/classes are BASELINE extensions)."""
     if sp != s:
         x = x[:, :s]
 

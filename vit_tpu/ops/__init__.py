@@ -22,6 +22,7 @@ __all__ = [
     "add", "layernorm", "softmax", "matmul", "matmul3", "fused_linear",
     "patchify", "patch_embed", "flash_attention", "gelu",
     "mlp_block", "attn_block", "block_plans", "encoder_stack", "stack_plan",
+    "encoder_stack_fused", "stack_fused_plan",
     "layer_block", "layer_plan", "mlp_block_stacked", "attn_block_stacked",
     "resolve_impl", "interpret_mode", "reference",
 ]
@@ -279,6 +280,31 @@ def stack_plan(batch: int, seq_pad: int, hidden: int, mlp: int,
     from vit_tpu.ops.pallas import block as _b
     return _b.encoder_stack_plan(batch, seq_pad, hidden, mlp, num_heads,
                                  itemsize) is not None
+
+
+def stack_fused_plan(batch: int, n_tok: int, patch_dim: int, seq_pad: int,
+                     hidden: int, mlp: int, num_heads: int, itemsize: int):
+    """Whether the embed-folded whole-encoder kernel is feasible: the
+    :func:`stack_plan` VMEM model charged with the resident patches/embed
+    weight/base rows (vit_tpu/ops/pallas/block.py:encoder_stack_fused)."""
+    from vit_tpu.ops.pallas import block as _b
+    extra = _b.stack_fused_extra_bytes(batch, n_tok, patch_dim, hidden,
+                                       seq_pad, itemsize)
+    return _b.encoder_stack_plan(batch, seq_pad, hidden, mlp, num_heads,
+                                 itemsize, extra=extra) is not None
+
+
+def encoder_stack_fused(patches, enc, wemb, base, lnf, *, num_heads, sp,
+                        scale=None, seq_len=None, eps=1e-12,
+                        interpret=None):
+    """Patch embed + whole encoder + final LN as ONE Pallas kernel —
+    the bs<=2 latency path with the front/tail kernels folded in
+    (vit_tpu/ops/pallas/block.py:encoder_stack_fused). Pallas-only:
+    callers gate on :func:`stack_fused_plan`."""
+    from vit_tpu.ops.pallas import vjp as _k
+    return _k.encoder_stack_fused(patches, enc, wemb, base, lnf, num_heads,
+                                  sp, scale, seq_len, eps,
+                                  interpret_mode(interpret))
 
 
 def encoder_stack(x, enc, *, num_heads, scale=None, seq_len=None,

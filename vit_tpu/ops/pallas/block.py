@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.pallas.activations import gelu
-from vit_tpu.ops.pallas.common import cdiv, round_up
+from vit_tpu.ops.pallas.common import cdiv, pad_dim, round_up
 from vit_tpu.ops.pallas.matmul import _dot_precision
 
 _VMEM_BUDGET = 22 * 2**20  # measured: ~32+ MB usable on v5e (probe: 2x16MB
@@ -1828,13 +1828,11 @@ def layer_block(x: jax.Array, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
 
 # ----------------------------------------------------------- encoder stack --
 
-def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
-                          wout_ref, bout_ref, g2_ref, bn2_ref, w1_ref,
-                          b1_ref, w2_ref, b2_ref, o_ref,
-                          xcur_ref, qkv_ref, acc_ref, *, eps: float, d: int,
+def _encoder_stack_kernel(*refs, eps: float, d: int,
                           sp: int, num_heads: int, head_dim: int,
                           scale: float, seq_len: int, b: int, nq: int,
-                          cq: int, nt: int, num_layers: int, precision):
+                          cq: int, nt: int, num_layers: int, precision,
+                          n_tok: int = 0, fold_ln: bool = False):
     """The WHOLE pre-LN encoder in one kernel: grid (L, nq + b + nt).
 
     Sub-step schedule per layer l:
@@ -1851,13 +1849,32 @@ def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
     activation (B*sp, D), packed QKV and fp32 MLP accumulator live in
     VMEM scratch for the kernel's entire lifetime; x is read once at
     (0,0) and the output written once at the final step.
+
+    ``n_tok > 0`` is the embed-folded form (VERDICT round-3 item 7): the
+    leading refs are (patches, wemb, bemb, cls_row, pos) instead of x, and
+    step (0,0) computes the patch projection + CLS row + position add +
+    pad-to-sp IN-KERNEL while layer 0's first QKV window streams in — the
+    separate embed kernel's dispatch and the (m,d) HBM round trip of the
+    embedding disappear. ``fold_ln`` appends (gf, bf) after the encoder
+    weights and applies the model's FINAL LayerNorm to the last step's
+    write, removing the tail kernel the same way.
     """
+    if n_tok:
+        p_ref, we_ref, base_ref, *refs = refs
+    else:
+        x_ref, *refs = refs
+    (g1_ref, bn1_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g2_ref,
+     bn2_ref, w1_ref, b1_ref, w2_ref, b2_ref, *refs) = refs
+    if fold_ln:
+        gf_ref, bf_ref, *refs = refs
+    o_ref, xcur_ref, qkv_ref, acc_ref = refs
     l = pl.program_id(0)
     t = pl.program_id(1)
     f32 = jnp.float32
 
-    def ln(rows, g_ref, b_ref):
-        x32 = xcur_ref[rows, :].astype(f32)
+    def ln(rows, g_ref, b_ref, x32=None):
+        if x32 is None:
+            x32 = xcur_ref[rows, :].astype(f32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
         xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
@@ -1866,7 +1883,26 @@ def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
 
     @pl.when((l == 0) & (t == 0))
     def _():
-        xcur_ref[:] = x_ref[:]
+        if n_tok:
+            # In-kernel patch embed: one (b*n_tok, pd) x (pd, d) MXU pass,
+            # then per-image scatter of [cls | proj + pos + bias | 0 pad]
+            # (base = that row matrix with zeros where patch rows go).
+            z = jax.lax.dot_general(
+                p_ref[:], we_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+                precision=precision)
+            for g in range(b):
+                r0 = g * sp
+                xcur_ref[r0:r0 + 1, :] = base_ref[0:1, :]
+                xcur_ref[r0 + 1:r0 + 1 + n_tok, :] = (
+                    z[g * n_tok:(g + 1) * n_tok]
+                    + base_ref[1:1 + n_tok, :].astype(f32)
+                ).astype(xcur_ref.dtype)
+                if 1 + n_tok < sp:
+                    xcur_ref[r0 + 1 + n_tok:r0 + sp, :] = (
+                        base_ref[1 + n_tok:sp, :])
+        else:
+            xcur_ref[:] = x_ref[:]
 
     for j in range(nq):
         @pl.when(t == j)
@@ -1938,15 +1974,21 @@ def _encoder_stack_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, bqkv_ref,
 
                 @pl.when(l == num_layers - 1)
                 def _():
-                    o_ref[:] = xcur_ref[:]
+                    if fold_ln:
+                        o_ref[:] = ln(slice(None), gf_ref, bf_ref,
+                                      acc_ref[:])
+                    else:
+                        o_ref[:] = xcur_ref[:]
 
 
 def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
-                    cq: int, mt: int, budget: int):
+                    cq: int, mt: int, budget: int, extra: int = 0):
     """VMEM-feasibility of an encoder-stack (cq, mt) tile config: the whole
     (B*sp, D) activation plus its fp32 MLP accumulator and packed QKV must
     be resident alongside the double-buffered weight tiles of two
-    consecutive layers. Returns the full plan dict or None."""
+    consecutive layers. ``extra`` charges bytes for optional resident
+    inputs (the embed-folded form's patches/wemb/base). Returns the full
+    plan dict or None."""
     if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
         return None
     m = b * sp
@@ -1957,22 +1999,26 @@ def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
              + sp * sp * 4 * 2              # scores + probs
              + sp * d * 4                   # ctx / out fp32
              + m * mt * (4 + itemsize))     # mlp hidden
-    if w + scratch + io + temps > budget:
+    if w + scratch + io + temps + extra > budget:
         return None
     return {"cq": cq, "nq": 3 * d // cq, "mt": mt, "nt": mlp // mt}
 
 
 def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
-                       itemsize: int, budget: int = _VMEM_BUDGET):
+                       itemsize: int, budget: int = _VMEM_BUDGET,
+                       extra: int = 0):
     """``{"cq", "nq", "mt", "nt"}`` for :func:`encoder_stack`, or None.
 
     Small-batch only (see :func:`_stack_feasible` for the VMEM model).
+    ``extra``: resident bytes the embed-folded form adds (see
+    :func:`encoder_stack_fused`).
     """
     if d % 128 or sp % 8 or d % num_heads or mlp % 128:
         return None
 
     def feasible(cq, mt):
-        return _stack_feasible(b, sp, d, mlp, itemsize, cq, mt, budget)
+        return _stack_feasible(b, sp, d, mlp, itemsize, cq, mt, budget,
+                               extra)
 
     env = os.environ.get("VIT_TPU_STACK_PLAN")
     if env:
@@ -2137,6 +2183,134 @@ def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
       enc["ln2"]["scale"].reshape(L, 1, d), enc["ln2"]["bias"].reshape(L, 1, d),
       enc["fc1"]["kernel"], enc["fc1"]["bias"].reshape(L, 1, mlp),
       enc["fc2"]["kernel"], enc["fc2"]["bias"].reshape(L, 1, d))
+    return out.reshape(b, sp, d)
+
+
+def stack_fused_extra_bytes(b: int, n_tok: int, pd: int, d: int, sp: int,
+                            itemsize: int) -> int:
+    """Resident VMEM bytes :func:`encoder_stack_fused` adds over
+    :func:`encoder_stack`: patches + embed weight + base rows (inputs) and
+    the fp32 projection temp, minus the dropped x input."""
+    pdp = round_up(pd, 128)
+    return ((b * n_tok * pdp + pdp * d + sp * d) * itemsize
+            + b * n_tok * d * 4          # z fp32 temp
+            - b * sp * d * itemsize)     # x input no longer exists
+
+
+def encoder_stack_fused(patches: jax.Array, enc: dict, wemb: jax.Array,
+                        base: jax.Array, lnf: dict, *, num_heads: int,
+                        sp: int, scale: float | None = None,
+                        seq_len: int | None = None, eps: float = 1e-12,
+                        interpret: bool = False) -> jax.Array:
+    """Patch embed + the WHOLE encoder + the final LayerNorm as ONE kernel.
+
+    The embed-folded, LN-folded form of :func:`encoder_stack` (the two
+    front/tail kernels disappear; reference scope: vit/vit.py:240-247's
+    entire ``embeddings -> encoder -> layernorm`` forward in one launch).
+    Step (0,0) computes the patch projection while layer 0's first QKV
+    window streams in, so the embed rides DMA time that was previously a
+    separate serial kernel.
+
+    ``patches``: (B, n_tok, pd) unfolded images; ``wemb``: (pd, D);
+    ``base``: (sp, D) assembled rows [cls+pos0 | pos+bias | 0] (see
+    :func:`vit_tpu.models.vit.embed`); ``lnf``: final-LN {scale, bias}.
+    Returns (B, sp, D), final-LN applied, pad rows included.
+    """
+    b, n_tok, pd = patches.shape
+    L, _, three_d = enc["qkv"]["kernel"].shape
+    d = wemb.shape[1]
+    mlp = enc["fc1"]["kernel"].shape[2]
+    hd = d // num_heads
+    assert three_d == 3 * d and sp >= n_tok + 1
+    if scale is None:
+        scale = hd ** -0.5
+    if seq_len is None:
+        seq_len = n_tok + 1
+    patches, _ = pad_dim(patches.reshape(b * n_tok, pd), 1, 128)
+    wemb, _ = pad_dim(wemb, 0, 128)
+    pdp = patches.shape[1]
+    extra = stack_fused_extra_bytes(b, n_tok, pd, d, sp,
+                                    patches.dtype.itemsize)
+    plan = encoder_stack_plan(b, sp, d, mlp, num_heads,
+                              patches.dtype.itemsize, extra=extra)
+    assert plan is not None, (b, sp, d, mlp, num_heads, patches.dtype)
+    cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    m = b * sp
+    T = nq + b + nt
+
+    kernel = functools.partial(
+        _encoder_stack_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
+        head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
+        nt=nt, num_layers=L, precision=_dot_precision(patches.dtype),
+        n_tok=n_tok, fold_ln=True)
+
+    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    cvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    last_q, last_m = nq - 1, nt - 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, T),
+        in_specs=[
+            pl.BlockSpec((b * n_tok, pdp), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # patches
+            pl.BlockSpec((pdp, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # wemb
+            pl.BlockSpec((sp, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),          # base rows
+            lvec(d), lvec(d),                               # ln1
+            pl.BlockSpec((1, d, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),          # wqkv tile
+            pl.BlockSpec((1, 1, cq),
+                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         memory_space=pltpu.VMEM),          # bqkv tile
+            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),          # wout
+            lvec(d),                                        # bout
+            lvec(d), lvec(d),                               # ln2
+            pl.BlockSpec((1, d, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),          # w1 tile
+            pl.BlockSpec((1, 1, mt),
+                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         memory_space=pltpu.VMEM),          # b1 tile
+            pl.BlockSpec((1, mt, d),
+                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         memory_space=pltpu.VMEM),          # w2 tile
+            lvec(d),                                        # b2
+            cvec(d), cvec(d),                               # final LN
+        ],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((m, d), patches.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, d), patches.dtype),   # resident activation
+            pltpu.VMEM((3, m, d), patches.dtype),  # packed q/k/v
+            pltpu.VMEM((m, d), jnp.float32),     # mlp accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=(L * (2 * m * d * 4 * d + 4 * m * sp * d
+                        + 4 * m * d * mlp)
+                   + 2 * b * n_tok * pd * d),
+            bytes_accessed=(2 * m * d + b * n_tok * pd + pd * d
+                            + L * (4 * d * d + 2 * d * mlp)
+                            ) * patches.dtype.itemsize,
+            transcendentals=L * m * (sp + mlp)),
+        interpret=interpret,
+    )(patches, wemb, base,
+      enc["ln1"]["scale"].reshape(L, 1, d), enc["ln1"]["bias"].reshape(L, 1, d),
+      enc["qkv"]["kernel"], enc["qkv"]["bias"].reshape(L, 1, 3 * d),
+      enc["out"]["kernel"], enc["out"]["bias"].reshape(L, 1, d),
+      enc["ln2"]["scale"].reshape(L, 1, d), enc["ln2"]["bias"].reshape(L, 1, d),
+      enc["fc1"]["kernel"], enc["fc1"]["bias"].reshape(L, 1, mlp),
+      enc["fc2"]["kernel"], enc["fc2"]["bias"].reshape(L, 1, d),
+      lnf["scale"].reshape(1, 1, d), lnf["bias"].reshape(1, 1, d))
     return out.reshape(b, sp, d)
 
 

@@ -688,3 +688,52 @@ def _encoder_stack_bwd(num_heads, scale, seq_len, eps, interpret, res, g):
 
 
 encoder_stack.defvjp(_encoder_stack_fwd, _encoder_stack_bwd)
+
+
+def _stack_fused_composed(patches, enc, wemb, base, lnf, num_heads, sp,
+                          scale, seq_len, eps, interpret):
+    """Differentiable op-chain equivalent of the embed-folded stack:
+    jnp embed assembly -> composed per-layer scan -> final layernorm."""
+    b, n, pd = patches.shape
+    d = wemb.shape[1]
+    z = jnp.einsum("bnk,kd->bnd", patches, wemb,
+                   preferred_element_type=jnp.float32)
+    x = jnp.broadcast_to(base.astype(jnp.float32), (b, sp, d))
+    x = x.at[:, 1:1 + n].add(z).astype(patches.dtype)
+    x = _stack_composed(x, enc, num_heads, scale, seq_len, eps, interpret)
+    from vit_tpu.ops import reference
+    return reference.layernorm(x, lnf["scale"], lnf["bias"], eps=eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def encoder_stack_fused(patches, enc, wemb, base, lnf, num_heads: int,
+                        sp: int, scale: float | None = None,
+                        seq_len: int | None = None, eps: float = 1e-12,
+                        interpret: bool = False):
+    """Differentiable embed-folded whole-encoder mega-kernel
+    (vit_tpu/ops/pallas/block.py:encoder_stack_fused)."""
+    from vit_tpu.ops.pallas.block import encoder_stack_fused as _k
+    return _k(patches, enc, wemb, base, lnf, num_heads=num_heads, sp=sp,
+              scale=scale, seq_len=seq_len, eps=eps, interpret=interpret)
+
+
+def _encoder_stack_fused_fwd(patches, enc, wemb, base, lnf, num_heads, sp,
+                             scale, seq_len, eps, interpret):
+    from vit_tpu.ops.pallas.block import encoder_stack_fused as _k
+    y = _k(patches, enc, wemb, base, lnf, num_heads=num_heads, sp=sp,
+           scale=scale, seq_len=seq_len, eps=eps, interpret=interpret)
+    return y, (patches, enc, wemb, base, lnf)
+
+
+def _encoder_stack_fused_bwd(num_heads, sp, scale, seq_len, eps, interpret,
+                             res, g):
+    patches, enc, wemb, base, lnf = res
+    _, vjp_fn = jax.vjp(
+        lambda *a: _stack_fused_composed(*a, num_heads, sp, scale, seq_len,
+                                         eps, interpret),
+        patches, enc, wemb, base, lnf)
+    return vjp_fn(g)
+
+
+encoder_stack_fused.defvjp(_encoder_stack_fused_fwd,
+                           _encoder_stack_fused_bwd)
