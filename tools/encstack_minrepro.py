@@ -1,33 +1,37 @@
 """Minimized-repro bisect for the encoder_stack Mosaic scheduling collapse.
 
 The whole-encoder mega-kernel (vit_tpu/ops/pallas/block.py:encoder_stack)
-collapses ~10x on specific (b, cq, mt) combinations on v5e — same code,
-same VMEM model (all cases sit far below the budget). Known cases
-(round-3 sweeps + round-4 probe; B/16 = d 768/mlp 3072/sp 208 bf16):
-
-    FAST      b=1: every plan tried; b=2: (768,768) (768,1024) (768,1536)
-              (2304,768) (384,768); L/16 b=1: (512,1024) (1024,512) (512,512)
-    COLLAPSE  b=2 (768,512) 3.45 ms; b=3 (768,768) ~5 ms; b=4 (384,512)
-              9.37 ms; L/16 b=2 (512,512) 15.6 ms; H/14 b=1 heuristic plan
-
-Neither the grid length T = nq+b+nt nor b alone separates these (b=1
-(768,512) has T=10 and is fast; b=3 (768,768) has T=10 and collapses).
-This tool isolates WHICH ingredient of the kernel triggers the cliff by
-timing stripped-down variants on the SAME grid + BlockSpec structure:
+collapses ~6-10x on specific (b, cq, mt) combinations on v5e — same code,
+same VMEM model (all cases sit far below the budget). This tool times
+stripped-down kernel variants on the SAME grid + BlockSpec + scratch
+structure to isolate which ingredient trips the cliff:
 
     full    the real encoder_stack (baseline)
     dma     same grid/BlockSpecs, body only touches each step's weight
             tile (sum -> accumulator): no scratch rows, no attention.
-            Cliff here => pure DMA-window scheduling.
     scratch dma + the (m,d)+(3,m,d)+(m,d)f32 scratch allocs and a full-m
             read-modify-write per step (no per-image row slices).
     rows    scratch + per-image ROW-SLICE read/write in the b attention
             steps (dynamic rows, trivial compute — no dots).
-    nodots  rows + the LN work but attention dots replaced by copies.
+    nodots  rows + LN + out-projection dot in the attention steps.
+    lnqkv   nodots + the full kernel's LN1 recompute per QKV chunk step
+            and LN2+GELU in the MLP steps (the VPU chain, no attn core).
+    nosm    per-head attention dots + concat, softmax deleted.
+    core    the real per-head attention body (--heads scales the chain).
 
-Run (idle chip):
-    python tools/encstack_minrepro.py --cases 2,768,768 2,768,512 3,768,768 \
-        --variants full dma scratch rows
+ROUND-4 VERDICT (PERF.md 5b): the cliff is a per-step body-complexity x
+step-count scheduler threshold, not any single ingredient. Measured on
+B/16 geometry (us/layer): every variant fast at b<=2 (45-55, incl.
+heads=24 = 48 unrolled head-blocks); at b=3 EITHER `core` with >=8 heads
+(278-361) OR `lnqkv` (293) collapses alone while heads<=6 (53-57) and
+`nodots` (51) stay fast. Ruled out: VMEM (limit sweep inert), DMA
+windows (`dma` ~21-26 everywhere), softmax (`nosm`~`core`), head_dim,
+total unroll size. The b=2 boundary is revision-sensitive: round-3's
+(768,512) 3.45 ms collapse flipped to 0.63 ms after a dead-parameter
+kernel refactor. Routing is therefore measurement-gated (tuned entries
+only); this tool is the regression harness for the stable collapse mode:
+
+    python tools/encstack_minrepro.py --variants core --cases 3,768,768
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
+def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype, heads=12):
     """A pallas_call with encoder_stack's exact grid + BlockSpec structure,
     with the kernel body stripped to `variant`'s ingredient set."""
     nq, nt = 3 * d // cq, mlp // mt
@@ -70,12 +74,20 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
             def _(j=j):
                 w = wqkv_ref[0].astype(f32)
                 if variant == "dma":
-                    acc_ref[0, 0] += jnp.sum(w)
+                    acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(w)
                 else:
+                    xin = xcur_ref[:].astype(f32)
+                    if variant == "lnqkv":
+                        # the full kernel's LN1 recompute over all m rows,
+                        # once per QKV chunk step
+                        mu = jnp.mean(xin, axis=-1, keepdims=True)
+                        xin = (xin - mu) * jax.lax.rsqrt(
+                            jnp.mean(jnp.square(xin - mu), axis=-1,
+                                     keepdims=True) + 1e-12)
                     # project into the qkv scratch (whole-m write, static
                     # column window like the real kernel's)
                     z = jax.lax.dot_general(
-                        xcur_ref[:].astype(f32), w, (((1,), (0,)), ((), ())),
+                        xin, w, (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)
                     start = j * cq
                     for p in range(3):
@@ -89,7 +101,7 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
             def _(g=g):
                 w = wout_ref[0].astype(f32)
                 if variant == "dma":
-                    acc_ref[0, 0] += jnp.sum(w)
+                    acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(w)
                 elif variant == "scratch":
                     # full-m touch, no per-image row slices
                     xcur_ref[:] += (qkv_ref[0] * 0.001).astype(xcur_ref.dtype)
@@ -99,7 +111,7 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
                     if variant == "rows":
                         xcur_ref[rows, :] += (q_all * 0.001).astype(
                             xcur_ref.dtype)
-                    else:  # nodots: LN-ish VPU work + out proj dot
+                    elif variant in ("nodots", "lnqkv"):  # LN + out proj dot
                         x32 = q_all.astype(f32)
                         mu = jnp.mean(x32, axis=-1, keepdims=True)
                         xn = (x32 - mu) * jax.lax.rsqrt(
@@ -110,6 +122,39 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)
                         xcur_ref[rows, :] += out.astype(xcur_ref.dtype)
+                    else:
+                        # 'core' = the real per-head attention body (the
+                        # only ingredient 'nodots' lacks vs the full
+                        # kernel); 'nosm' = same minus the softmax
+                        # (scores feed the context dot raw). --heads
+                        # scales the unrolled per-head chain length.
+                        k_all = qkv_ref[1, rows, :]
+                        v_all = qkv_ref[2, rows, :]
+                        hd = d // heads
+                        parts = []
+                        for hh in range(heads):
+                            hsl = slice(hh * hd, (hh + 1) * hd)
+                            s = jax.lax.dot_general(
+                                q_all[:, hsl], k_all[:, hsl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32) * (hd ** -0.5)
+                            if variant == "core":
+                                s = s - jnp.max(s, axis=-1, keepdims=True)
+                                p = jnp.exp(s)
+                                den = jnp.sum(p, axis=-1, keepdims=True)
+                            else:  # nosm
+                                p, den = s, 1.0
+                            ctx = jax.lax.dot_general(
+                                p.astype(v_all.dtype), v_all[:, hsl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+                            parts.append(ctx / den)
+                        ctx_all = jnp.concatenate(parts, axis=1).astype(
+                            xcur_ref.dtype)
+                        out = jax.lax.dot_general(
+                            ctx_all, wout_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+                        xcur_ref[rows, :] += out.astype(xcur_ref.dtype)
 
         for c in range(nt):
             @pl.when(t == nq + b + c)
@@ -117,12 +162,24 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype):
                 w1 = w1_ref[0]
                 w2 = w2_ref[0]
                 if variant == "dma":
-                    acc_ref[0, 0] += (jnp.sum(w1.astype(f32))
-                                      + jnp.sum(w2.astype(f32)))
+                    acc_ref[0:1, :] = (acc_ref[0:1, :]
+                                       + jnp.sum(w1.astype(f32))
+                                       + jnp.sum(w2.astype(f32)))
                 else:
+                    xin = xcur_ref[:]
+                    if variant == "lnqkv":
+                        x32 = xin.astype(f32)
+                        mu = jnp.mean(x32, axis=-1, keepdims=True)
+                        xin = ((x32 - mu) * jax.lax.rsqrt(
+                            jnp.mean(jnp.square(x32 - mu), axis=-1,
+                                     keepdims=True) + 1e-12)).astype(
+                                xin.dtype)
                     h = jax.lax.dot_general(
-                        xcur_ref[:], w1, (((1,), (0,)), ((), ())),
+                        xin, w1, (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)
+                    if variant == "lnqkv":
+                        from vit_tpu.ops.pallas.activations import gelu
+                        h = gelu(h)
                     acc_ref[:] += jax.lax.dot_general(
                         h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)
@@ -217,8 +274,9 @@ def main():
                 os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
 
                 def step(c, x, enc=enc, b=b):
+                    xc = (x * (1 + c * 1e-30)).astype(dtype)
                     out = encoder_stack(
-                        (x * (1 + c * 1e-30)).reshape(b, args.sp, args.d),
+                        xc.reshape(b, args.sp, args.d),
                         enc, num_heads=args.heads, seq_len=args.sp)
                     return jnp.mean(out).astype(jnp.float32)
 
@@ -226,10 +284,11 @@ def main():
             else:
                 fn = make_variant(variant, b=b, sp=args.sp, d=args.d,
                                   mlp=args.mlp, L=args.L, cq=cq, mt=mt,
-                                  dtype=dtype)
+                                  dtype=dtype, heads=args.heads)
 
                 def step(c, x, wqkv, wout, w1, w2, fn=fn):
-                    out = fn(x * (1 + c * 1e-30), wqkv, wout, w1, w2)
+                    xc = (x * (1 + c * 1e-30)).astype(dtype)
+                    out = fn(xc, wqkv, wout, w1, w2)
                     return jnp.mean(out).astype(jnp.float32)
 
                 arg = (x, wqkv, wout, w1, w2)

@@ -62,6 +62,9 @@ def main():
                          "empty = the plan heuristic/tuned table)")
     ap.add_argument("--vmem", type=int, nargs="*", default=[],
                     help="VIT_TPU_STACK_VMEM_MB values (empty = default 28)")
+    ap.add_argument("--seqlen", type=int, default=0,
+                    help="real token count (< sp adds the in-kernel "
+                         "attention column mask; 0 = sp, no mask)")
     ap.add_argument("-d", type=int, default=768)
     ap.add_argument("--mlp", type=int, default=3072)
     ap.add_argument("--heads", type=int, default=12)
@@ -81,9 +84,11 @@ def main():
         b, sp = map(int, case.split(","))
         x, enc = build(b, sp, args.d, args.mlp, args.L, dtype)
 
+        sl = args.seqlen or sp
+
         def step(c, x, enc):
             out = encoder_stack(x * (1 + c * 1e-30).astype(dtype), enc,
-                                num_heads=args.heads, seq_len=sp)
+                                num_heads=args.heads, seq_len=sl)
             return jnp.mean(out).astype(jnp.float32)
 
         for plan in plans:

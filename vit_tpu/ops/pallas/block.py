@@ -2034,18 +2034,24 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
     from vit_tpu.ops.dispatch import interpret_mode
     if ((b > 2 or itemsize != 2 or (d, mlp) != (768, 3072))
             and not interpret_mode()):
-        # Measured cliffs on v5e (Mosaic-compiled only — the interpreter is
-        # unaffected): b=3 runs at ~420us/layer vs b=2's 47, the fp32
-        # stack at bs=1 hits 8.0 ms vs 1.4 for the per-layer kernels (same
-        # plans, same code), and H/14 (d=1280, mlp=5120) at b=1 hit 36 ms
-        # vs ~8 expected on a heuristic plan in the round-3 variant matrix
-        # — a Mosaic scheduling collapse whose trigger the
-        # tools/encstack_probe.py bisect has not yet isolated (not VMEM
-        # pressure: it reproduces far below the budget). Without a tuned
-        # entry proving otherwise, the untuned heuristic serves only the
-        # geometry+batch class it was measured safe on (b<=2 bf16,
-        # d=768/mlp=3072); everything else falls back to the per-layer
-        # mega-kernels.
+        # Mosaic scheduling cliff, characterized by the round-4 minimized
+        # repro (tools/encstack_minrepro.py; PERF.md 5b): when the
+        # per-grid-step body complexity x step count crosses a scheduler
+        # threshold, Mosaic abandons cross-step pipelining of the weight-
+        # window stream and the kernel runs ~6-10x slow (~300-800 us/layer
+        # vs ~47). Measured: at b>=3 EITHER a >=8-head unrolled attention
+        # chain OR the LN+GELU chain alone trips it; b<=2 B/16-class bf16
+        # is stable under every composition tried (incl. 48 head-blocks).
+        # Ruled out by direct measurement: VMEM pressure (limit sweep
+        # 28->96 MB inert), DMA-window scheduling (stripped 'dma' variant
+        # runs at the weight-stream floor), softmax, head_dim, total
+        # unroll size. The boundary is also revision-sensitive (the b=2
+        # (768,512) case flipped collapsed->fast across a dead-parameter
+        # kernel refactor), so routing is MEASUREMENT-gated, not model-
+        # gated: a tuned entry (recorded only on a measured win, re-proven
+        # each sweep) overrides above; the untuned heuristic serves only
+        # the continuously revalidated stable class (b<=2 bf16,
+        # d=768/mlp=3072); everything else runs the per-layer kernels.
         return None
     # Measured ordering on v5e (bs=1 bf16 B/16): cq=d beats both the
     # single-chunk 3d (worse DMA/compute interleave: 0.375 vs 0.320 ms)
