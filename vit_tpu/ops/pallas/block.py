@@ -1982,17 +1982,25 @@ def _encoder_stack_kernel(*refs, eps: float, d: int,
 
 
 def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
-                    cq: int, mt: int, budget: int, extra: int = 0):
+                    cq: int, mt: int, budget: int, extra: int = 0,
+                    w_itemsize: int | None = None):
     """VMEM-feasibility of an encoder-stack (cq, mt) tile config: the whole
     (B*sp, D) activation plus its fp32 MLP accumulator and packed QKV must
     be resident alongside the double-buffered weight tiles of two
     consecutive layers. ``extra`` charges bytes for optional resident
-    inputs (the embed-folded form's patches/wemb/base). Returns the full
+    inputs (the embed-folded form's patches/wemb/base). ``w_itemsize``
+    overrides the WEIGHT byte width (the int8 stack streams 1-byte tiles
+    and casts each to the compute dtype on use, so it charges 1 B/elem of
+    window plus one cast-tile temp at ``itemsize``). Returns the full
     plan dict or None."""
     if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
         return None
     m = b * sp
-    w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * itemsize
+    wi = itemsize if w_itemsize is None else w_itemsize
+    w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * wi
+    if wi != itemsize:
+        # on-the-fly cast of the largest weight tile to the compute dtype
+        w += max(d * cq, d * d, d * mt, mt * d) * itemsize
     scratch = m * d * (2 * itemsize + 4) + 3 * m * d * itemsize
     io = 2 * m * d * itemsize
     temps = (m * cq * 4                     # z fp32 (all rows at once)
@@ -2079,15 +2087,24 @@ def encoder_stack_plan_q(b: int, sp: int, d: int, mlp: int, num_heads: int,
     per-layer 0.460 vs 0.646 on the float-tuned (768,768) and 0.463 on
     the int8-best (2304,768). So the quant tier routes on its OWN tuned
     entries (op ``encstackq``): ``{"route": "layers"}`` pins the
-    per-layer path, ``{"cq","mt"}`` pins the stack with that plan. A
-    ``VIT_TPU_STACK_PLAN`` env force and geometries without an entry
-    resolve through the float :func:`encoder_stack_plan` (same VMEM
-    model, same Mosaic-cliff geometry gate).
+    per-layer path, ``{"cq","mt"}`` pins the stack with that plan. The
+    env force and tuned hits gate on the int8 footprint
+    (``_stack_feasible(w_itemsize=1)`` — 1-byte windows + one cast-tile
+    temp); geometries without an entry resolve through the float
+    :func:`encoder_stack_plan` (conservative float model + the
+    Mosaic-cliff geometry gate — only measured wins unlock the stack).
     """
     if d % 128 or sp % 8 or d % num_heads or mlp % 128:
         return None
-    if os.environ.get("VIT_TPU_STACK_PLAN"):
-        return encoder_stack_plan(b, sp, d, mlp, num_heads, itemsize, budget)
+    env = os.environ.get("VIT_TPU_STACK_PLAN")
+    if env:
+        # Explicit force (tune.py's candidate sweep): gate on the REAL
+        # int8 footprint — the float model's full-width weight windows
+        # would veto plans the 1-byte tiles comfortably fit (the L/16
+        # geometry's entire candidate set, round-4).
+        cq, mt = map(int, env.split(","))
+        return _stack_feasible(b, sp, d, mlp, itemsize, cq, mt, budget,
+                               w_itemsize=1)
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     hit = tuning.lookup("encstackq", dtype, (b, sp, d, mlp, num_heads))
@@ -2095,7 +2112,8 @@ def encoder_stack_plan_q(b: int, sp: int, d: int, mlp: int, num_heads: int,
         if hit.get("route") == "layers":
             return None
         plan = _stack_feasible(b, sp, d, mlp, itemsize,
-                               int(hit["cq"]), int(hit["mt"]), budget)
+                               int(hit["cq"]), int(hit["mt"]), budget,
+                               w_itemsize=1)
         if plan is not None:
             return plan
     return encoder_stack_plan(b, sp, d, mlp, num_heads, itemsize, budget)
