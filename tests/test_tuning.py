@@ -72,6 +72,51 @@ def test_forget_drops_entry(tmp_table):
     tuning.forget("layerblock", jnp.bfloat16, (1, 2, 3))
 
 
+def test_rev_stamp_and_invalidate(tmp_table):
+    """Entries self-invalidate when the kernel-body source changes
+    (round-4 §5b: Mosaic plans are valid per kernel revision): ``record``
+    stamps the live rev, a mismatched or missing rev is a lookup MISS,
+    and unregistered ops are exempt."""
+    dims = (32, 208, 768, 12)
+    tuning.record("attnblock", jnp.bfloat16, dims,
+                  {"layout": "mstream", "group": 4})
+    live = tuning.rev("attnblock")
+    assert live is not None and len(live) == 10
+    raw = tuning.table()[tuning.key("attnblock", jnp.bfloat16, dims)]
+    assert raw["rev"] == live
+    assert tuning.lookup("attnblock", jnp.bfloat16, dims) is not None
+    # Simulate a kernel edit: entry stamped for another revision -> miss.
+    import json
+    t = dict(tuning.table())
+    t[tuning.key("attnblock", jnp.bfloat16, dims)] = dict(
+        raw, rev="0000000000")
+    with open(tuning._PATH, "w") as f:
+        json.dump(t, f)
+    tuning._load_cached.cache_clear()
+    assert tuning.lookup("attnblock", jnp.bfloat16, dims) is None
+    # Legacy entry with NO rev field: also a miss for registered ops.
+    t[tuning.key("attnblock", jnp.bfloat16, dims)] = {
+        k: v for k, v in raw.items() if k != "rev"}
+    with open(tuning._PATH, "w") as f:
+        json.dump(t, f)
+    tuning._load_cached.cache_clear()
+    assert tuning.lookup("attnblock", jnp.bfloat16, dims) is None
+    # Unregistered op: no rev gate.
+    tuning.record("someop", jnp.bfloat16, (1, 2), {"x": 1})
+    assert tuning.lookup("someop", jnp.bfloat16, (1, 2))["x"] == 1
+
+
+def test_rev_tracks_kernel_source():
+    """rev() hashes the registered kernel sources — two ops sharing the
+    same source list hash identically; every registered op resolves."""
+    assert tuning.rev("flash") == tuning.rev("flash3d")
+    revs = {op: tuning.rev(op) for op in tuning._REV_SOURCES}
+    assert all(r is not None for r in revs.values())
+    # distinct kernels hash distinctly
+    assert revs["encstack"] != revs["encstackq"]
+    assert tuning.rev("not_an_op") is None
+
+
 def test_encoder_stack_plan_q_routes(tmp_table):
     """The int8 tier's stack gate (round-4): a recorded encstackq entry IS
     the routing decision — "layers" returns None (per-layer stacked int8

@@ -5,6 +5,14 @@ flagship ViT-B/16 (or any variant) and writes ``benchmarks/model/
 Performance.csv`` + ``.png`` in the reference's artifact layout, with the
 reference's own published GPU numbers (BASELINE.md) as comparison columns.
 
+The sweep is DRIFT-GATED against the committed artifact (round-4 lesson:
+a single noisy run published as the flagship table): any row deviating
+more than ``DRIFT_GATE_PCT`` from the committed CSV is automatically
+re-measured twice more and the median of the three published, with the
+disagreement logged. Rows the committed CSV has but this run did not
+measure are CARRIED FORWARD, never silently dropped (a targeted
+``--batches 32`` refresh must not lose the bs=128 row).
+
 Run: ``python -m vit_tpu.bench.model [--variant B/16] [--dtype bfloat16]
 [--impl xla|pallas]``.
 """
@@ -12,6 +20,8 @@ Run: ``python -m vit_tpu.bench.model [--variant B/16] [--dtype bfloat16]
 from __future__ import annotations
 
 import argparse
+import csv
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +46,38 @@ REFERENCE_MS = {
 
 BATCH_SWEEP = [1, 2, 4, 8, 16, 24, 32, 48, 64]
 
+#: Deviation from the committed CSV (either direction) past which a row is
+#: re-measured before being published. The tunnel drifts up to ~15%
+#: run-to-run (docs/PERF.md §5); 8% catches both regressions and
+#: too-good-to-be-true outliers (the round-4 98.8%-MFU bs=64 row) while
+#: letting steady rows through on one measurement.
+DRIFT_GATE_PCT = 8.0
+
+
+def read_committed(name: str, out_root: str = "benchmarks") -> dict[int, dict]:
+    """The committed artifact's rows, ``{batch: row}`` (floats parsed)."""
+    path = os.path.join(out_root, name, "Performance.csv")
+    rows: dict[int, dict] = {}
+    try:
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                try:
+                    b = int(r["batch"])
+                except (KeyError, ValueError):
+                    continue
+                parsed = {}
+                for k, v in r.items():
+                    if v is None or v == "":
+                        continue
+                    try:
+                        parsed[k] = int(v) if k == "batch" else float(v)
+                    except ValueError:
+                        parsed[k] = v
+                rows[b] = parsed
+    except OSError:
+        pass
+    return rows
+
 #: v5e per-chip peak, dense (TF/s or TOPS). bf16/int8 are the MXU's two
 #: rates; fp32 runs as multi-pass bf16 (~1/4 rate, not a hardware spec
 #: line) so no MFU is claimed for it.
@@ -57,7 +99,11 @@ def forward_tflops(cfg, batch: int) -> float:
 
 def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
           impl: str | None = None, attention: str = "flash",
-          batches=BATCH_SWEEP, reps: int = 5, quant: bool = False):
+          batches=BATCH_SWEEP, reps: int = 5, quant: bool = False,
+          committed: dict[int, dict] | None = None):
+    """``committed``: the current artifact's rows (``read_committed``);
+    when given, rows deviating > ``DRIFT_GATE_PCT`` are re-measured twice
+    and the median published."""
     cfg = VARIANTS[variant].replace(dtype=dtype)
     params = init_params(jax.random.key(0), cfg)
     if quant:
@@ -76,6 +122,22 @@ def sweep(variant: str = "B/16", dtype=jnp.bfloat16,
             return jnp.mean(out).astype(jnp.float32)
 
         ms = bench_chained(step, reps=reps, args=(params, px))
+        old = (committed or {}).get(b, {}).get("tpu_ms")
+        if old:
+            drift = abs(ms - old) / old * 100
+            if drift > DRIFT_GATE_PCT:
+                print(f"  [drift gate] bs={b}: {ms:.3f} ms vs committed "
+                      f"{old:.3f} ({drift:+.1f}%) — re-measuring x2",
+                      flush=True)
+                tries = [ms]
+                for _ in range(2):
+                    tries.append(bench_chained(step, reps=reps,
+                                               args=(params, px)))
+                tries.sort()
+                ms = tries[1]  # median of 3
+                print(f"  [drift gate] bs={b}: measurements "
+                      f"{[round(t, 3) for t in tries]} -> median {ms:.3f}",
+                      flush=True)
         tf = forward_tflops(cfg, b) / (ms / 1e3)
         row = {"batch": b, "tpu_ms": round(ms, 3),
                "tpu_img_per_s": round(b / (ms / 1e3), 1),
@@ -103,14 +165,15 @@ def main():
     ap.add_argument("--attention", default="flash",
                     choices=["flash", "unfused"])
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--batches", type=int, nargs="+", default=BATCH_SWEEP)
+    ap.add_argument("--batches", type=int, nargs="+", default=None,
+                    help="batches to (re-)measure; default = the standard "
+                         "sweep UNION the committed CSV's batches. Rows "
+                         "the committed CSV has that are not re-measured "
+                         "are carried forward, never dropped")
     ap.add_argument("--quant", action="store_true",
                     help="int8 quantized tier (vit_tpu.quant)")
     args = ap.parse_args()
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    rows = sweep(args.variant, dtype, args.impl, args.attention,
-                 batches=args.batches, reps=args.reps, quant=args.quant)
     name = "model" if args.variant == "B/16" else \
         f"model_{args.variant.replace('/', '_')}"
     if args.dtype != "bfloat16":
@@ -121,6 +184,24 @@ def main():
         # Impl-suffixed so the xla and pallas quant tiers keep separate
         # artifacts (benchmarks/model_int8_xla vs model_int8_pallas).
         name = f"{name}_int8" + (f"_{args.impl}" if args.impl else "")
+
+    committed = read_committed(name)
+    batches = args.batches
+    if batches is None:
+        batches = sorted(set(BATCH_SWEEP) | set(committed))
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rows = sweep(args.variant, dtype, args.impl, args.attention,
+                 batches=batches, reps=args.reps, quant=args.quant,
+                 committed=committed)
+    # Row preservation: carry forward committed rows for batches this run
+    # did not measure (a targeted refresh must never shrink the artifact).
+    measured = {r["batch"] for r in rows}
+    carried = [committed[b] for b in sorted(committed) if b not in measured]
+    if carried:
+        print(f"carrying forward committed rows for batches "
+              f"{[r['batch'] for r in carried]}")
+    rows = sorted(rows + carried, key=lambda r: r["batch"])
     out = write_perf_report(name, rows, x_key="batch",
                             y_keys=["tpu_ms"], y_label="ms")
     print(f"wrote {out}")

@@ -1991,7 +1991,9 @@ def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
     inputs (the embed-folded form's patches/wemb/base). ``w_itemsize``
     overrides the WEIGHT byte width (the int8 stack streams 1-byte tiles
     and casts each to the compute dtype on use, so it charges 1 B/elem of
-    window plus one cast-tile temp at ``itemsize``). Returns the full
+    window plus the cast-tile temps at ``itemsize`` — summed over the
+    tiles cast within one grid step: the MLP step casts BOTH its w1
+    (d, mt) and w2 (mt, d) tiles in the same body). Returns the full
     plan dict or None."""
     if (3 * d) % cq or cq % 128 or mlp % mt or mt % 128:
         return None
@@ -1999,8 +2001,10 @@ def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
     wi = itemsize if w_itemsize is None else w_itemsize
     w = (2 * (d * cq + d * mt + mt * d) + 2 * d * d) * wi
     if wi != itemsize:
-        # on-the-fly cast of the largest weight tile to the compute dtype
-        w += max(d * cq, d * d, d * mt, mt * d) * itemsize
+        # On-the-fly casts to the compute dtype: charge the worst single
+        # grid step's SUM of cast tiles (QKV step: (d,cq); proj step:
+        # (d,d); MLP step: (d,mt) AND (mt,d) live in one body).
+        w += max(d * cq, d * d, d * mt + mt * d) * itemsize
     scratch = m * d * (2 * itemsize + 4) + 3 * m * d * itemsize
     io = 2 * m * d * itemsize
     temps = (m * cq * 4                     # z fp32 (all rows at once)
@@ -2454,8 +2458,11 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
     :func:`vit_tpu.quant.quantize_params`: each of qkv/out/fc1/fc2 has
     ``kernel = {"q": int8, "scale": fp32 per-output-channel}``. Same
     schedule as :func:`encoder_stack`, gated/planned by
-    :func:`encoder_stack_plan_q` (any plan the shared VMEM model admits
-    for float weights is safe for the smaller int8 ones)."""
+    :func:`encoder_stack_plan_q`: tuned/forced plans are admitted under
+    the true int8 footprint (``_stack_feasible(w_itemsize=1)`` — 1-byte
+    weight windows + per-step cast-tile temps), which accepts plans the
+    float model would veto; untuned geometries still resolve through the
+    conservative float :func:`encoder_stack_plan`."""
     b, sp, d = x.shape
     L, _, three_d = qenc["qkv"]["kernel"]["q"].shape
     mlp = qenc["fc1"]["kernel"]["q"].shape[2]

@@ -25,6 +25,9 @@ Key format: ``"<op>:<dtype>:<d0>x<d1>x..."``. Conventions per op:
 from __future__ import annotations
 
 import functools
+import hashlib
+import importlib
+import inspect
 import json
 import os
 
@@ -32,6 +35,63 @@ import jax.numpy as jnp
 
 _PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "tuned_configs.json")
+
+#: Kernel-body sources that define each op's measured behavior. Tuned
+#: entries are valid only for the kernel revision they were measured on:
+#: the round-4 minimized repro (PERF.md §5b) showed a dead-parameter edit
+#: to a kernel body swinging a recorded plan 5.5x (Mosaic scheduling is
+#: sensitive to the emitted body, not just its semantics). ``rev(op)``
+#: hashes these sources; ``lookup`` treats an entry whose stamped ``rev``
+#: differs as a MISS (fall back to the conservative heuristic) so editing
+#: a kernel can never silently serve stale winners. Re-stamp with
+#: ``python tools/reprove.py`` on a real chip.
+_REV_SOURCES: dict[str, tuple[str, tuple[str, ...]]] = {
+    "matmul": ("vit_tpu.ops.pallas.matmul",
+               ("_matmul_kernel", "_matmul_kernel_nk1",
+                "_fused_linear_kernel", "_fused_linear_kernel_nk1")),
+    "flash": ("vit_tpu.ops.pallas.attention",
+              ("_flash_kernel", "_flash_group_rows_kernel",
+               "_flash_group_kernel", "_flash_qtile_kernel")),
+    "flash3d": ("vit_tpu.ops.pallas.attention",
+                ("_flash_kernel", "_flash_group_rows_kernel",
+                 "_flash_group_kernel", "_flash_qtile_kernel")),
+    "mlpblock": ("vit_tpu.ops.pallas.block", ("_mlp_kernel",)),
+    "mlpblocki8": ("vit_tpu.ops.pallas.block",
+                   ("_mlp_q_kernel", "_mlp_i8dot_kernel")),
+    "attnblock": ("vit_tpu.ops.pallas.block",
+                  ("_ln32", "_attn_core", "_attn_kernel",
+                   "_attn_wstream_kernel")),
+    "attnqblock": ("vit_tpu.ops.pallas.block",
+                   ("_ln32", "_attn_q_core", "_attn_q_kernel")),
+    "layerblock": ("vit_tpu.ops.pallas.block", ("_layer_kernel",)),
+    "encstack": ("vit_tpu.ops.pallas.block", ("_encoder_stack_kernel",)),
+    "encstackq": ("vit_tpu.ops.pallas.block",
+                  ("_encoder_stack_q_kernel",)),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def rev(op: str) -> str | None:
+    """Current kernel-body revision for ``op`` (10-hex sha256 of the
+    registered kernel sources), or None for unregistered ops."""
+    spec = _REV_SOURCES.get(op)
+    if spec is None:
+        return None
+    mod = importlib.import_module(spec[0])
+    src = "\n".join(inspect.getsource(getattr(mod, name))
+                    for name in spec[1])
+    return hashlib.sha256(src.encode()).hexdigest()[:10]
+
+
+def _rev_ok(op: str, entry: dict | None) -> dict | None:
+    """Entry passes only if its stamped rev matches the live kernel
+    source (entries for unregistered ops are exempt)."""
+    if entry is None:
+        return None
+    want = rev(op)
+    if want is not None and entry.get("rev") != want:
+        return None
+    return entry
 
 
 def _dtype_tag(dtype) -> str:
@@ -74,18 +134,23 @@ def lookup_split(op: str, dtype,
     but never an exact-shape measurement (the block kernels: a bs=32
     wildcard must not force the throughput layout onto bs=1)."""
     t = table()
-    exact = t.get(key(op, dtype, dims))
+    exact = _rev_ok(op, t.get(key(op, dtype, dims)))
     wild = None
     if dims and dims[0] != 0:
-        wild = t.get(key(op, dtype, (0,) + dims[1:]))
+        wild = _rev_ok(op, t.get(key(op, dtype, (0,) + dims[1:])))
     return exact, wild
 
 
 def record(op: str, dtype, dims: tuple[int, ...], value: dict, *,
            extra: dict | None = None) -> None:
-    """Persist one winner (used by the tune CLI, never by kernels)."""
+    """Persist one winner (used by the tune CLI, never by kernels).
+    Stamps the current kernel-body revision so the entry self-invalidates
+    if the kernel source later changes (see :func:`rev`)."""
     t = dict(table())
     entry = dict(value)
+    r = rev(op)
+    if r is not None:
+        entry["rev"] = r
     if extra:
         entry["_meta"] = extra
     t[key(op, dtype, dims)] = entry
