@@ -103,7 +103,9 @@ def main():
             "metric": f"vit_b16_images_per_sec_bs{args.batch}_{args.dtype}",
             "value": None, "unit": "images/sec", "vs_baseline": None,
             "error": "tpu_unavailable",
-            "last_measured_bs32_img_per_s": 4714.5,
+            # Matches the committed benchmarks/model/Performance.csv bs=32
+            # row (round-5 drift-gated re-sweep).
+            "last_measured_bs32_img_per_s": 4728.4,
         }))
         return
 

@@ -53,7 +53,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype, heads=12):
     """A pallas_call with encoder_stack's exact grid + BlockSpec structure,
-    with the kernel body stripped to `variant`'s ingredient set."""
+    with the kernel body stripped to `variant`'s ingredient set.
+
+    A ``@flat`` suffix (e.g. ``dma@flat``, ``core@flat``) runs the SAME
+    body on a 1-D grid (L*T,) with l/t derived by divmod — the round-5
+    bs=1 slack probe: does collapsing the layer boundary out of the grid
+    let Mosaic pipeline the weight-window stream across layers?"""
+    flat = variant.endswith("@flat")
+    if flat:
+        variant = variant[:-len("@flat")]
     nq, nt = 3 * d // cq, mlp // mt
     m = b * sp
     T = nq + b + nt
@@ -61,8 +69,12 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype, heads=12):
 
     def kernel(x_ref, wqkv_ref, wout_ref, w1_ref, w2_ref, o_ref,
                xcur_ref, qkv_ref, acc_ref):
-        l = pl.program_id(0)
-        t = pl.program_id(1)
+        if flat:
+            i = pl.program_id(0)
+            l, t = i // T, i % T
+        else:
+            l = pl.program_id(0)
+            t = pl.program_id(1)
 
         @pl.when((l == 0) & (t == 0))
         def _():
@@ -191,25 +203,37 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype, heads=12):
                     o_ref[:] = xcur_ref[:]
 
     last_q, last_m = nq - 1, nt - 1
+    if flat:
+        def ix(fn):  # lift an (l, t) index map onto the flat grid
+            return lambda i: fn(i // T, i % T)
+        grid = (L * T,)
+        sem = ("arbitrary",)
+    else:
+        def ix(fn):
+            return fn
+        grid = (L, T)
+        sem = ("arbitrary", "arbitrary")
     return pl.pallas_call(
         kernel,
-        grid=(L, T),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((m, d), lambda l, t: (0, 0),
+            pl.BlockSpec((m, d), ix(lambda l, t: (0, 0)),
                          memory_space=pltpu.VMEM),                   # x
             pl.BlockSpec((1, d, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),                   # wqkv
-            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((1, d, d), ix(lambda l, t: (l, 0, 0)),
                          memory_space=pltpu.VMEM),                   # wout
             pl.BlockSpec((1, d, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),                   # w1
             pl.BlockSpec((1, mt, d),
-                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         ix(lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m),
+                                          0)),
                          memory_space=pltpu.VMEM),                   # w2
         ],
-        out_specs=pl.BlockSpec((m, d), lambda l, t: (0, 0),
+        out_specs=pl.BlockSpec((m, d), ix(lambda l, t: (0, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, d), dtype),
         scratch_shapes=[
@@ -218,7 +242,7 @@ def make_variant(variant: str, *, b, sp, d, mlp, L, cq, mt, dtype, heads=12):
             pltpu.VMEM((m, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=sem,
             vmem_limit_bytes=int(os.environ.get(
                 "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
     )

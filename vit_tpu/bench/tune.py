@@ -491,8 +491,12 @@ def sweep_encstackq(b: int, sp: int, cfg: ViTConfig, dtype):
 
     it = jnp.dtype(dtype).itemsize
     rows = []
-    for cq in (d, 3 * d):
-        for mt in (1536, 1024, 768):
+    # Wider grid than the float stack sweep (round-5): the 1-byte weight
+    # windows admit (cq, mt) pairs the float footprint vetoes — including
+    # the asymmetric big-mt forms — and the int8 winner has differed from
+    # the float one at every geometry measured so far.
+    for cq in (d // 2, d, 3 * d):
+        for mt in (2048, 1536, 1024, 768, 512):
             os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
             ok = encoder_stack_plan_q(b, sp, d, mlp, nh, it) is not None
             if not ok:

@@ -906,12 +906,16 @@ def attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            # 29MB, not the suite-wide 28: under the model's lax.scan the
-            # stacked-weight dynamic slices add ~0.7MB of scoped vmem on
-            # top of the kernel's own allocation (L/16-384 b=64 mstream,1
-            # measured 28.66MB there vs fine standalone in the tuner);
-            # the v5e-usable probe says 32+MB so 29 keeps real margin.
-            vmem_limit_bytes=29 * 2**20),
+            # 40MB, not the suite-wide 28: under the model's lax.scan the
+            # stacked-weight blocks add scoped vmem on top of the kernel's
+            # own allocation, and the demand grows with batch at the
+            # L/16-384 geometry (round 3 measured b=64 mstream,1 at
+            # 28.66MB in-scan; after the round-4 body refactor the same
+            # sweep compiles to 32.04MB at b=8 and 36.66MB at b=64). A
+            # too-small limit is a clean compile OOM, not the
+            # compile-service wedge class, and v5e VMEM is 128MB — 40
+            # keeps real margin at every measured geometry.
+            vmem_limit_bytes=40 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
             bytes_accessed=(2 * b * sp * d + 4 * d * d) * x.dtype.itemsize,
@@ -1178,9 +1182,11 @@ def attn_block_stacked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b * sp, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            # 29MB, matching attn_block: under lax.scan the stacked-weight
-            # blocks add scoped vmem on top of the kernel's own allocation.
-            vmem_limit_bytes=29 * 2**20),
+            # 40MB, matching attn_block: under lax.scan the stacked-weight
+            # blocks add scoped vmem on top of the kernel's own allocation
+            # (L/16-384 compiles to 32.04MB at b=8 / 36.66MB at b=64 post
+            # round-4 refactor; see attn_block for the margin reasoning).
+            vmem_limit_bytes=40 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sp * d * 4 * d + 4 * b * sp * sp * d,
             bytes_accessed=(2 * b * sp * d + 4 * d * d) * x.dtype.itemsize,
