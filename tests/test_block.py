@@ -179,6 +179,38 @@ def test_encoder_stack_matches_composed():
                                atol=5e-4, rtol=0)
 
 
+def test_encoder_stack_flat_grid_identical(monkeypatch):
+    """The opt-in flat 1-D grid (plan {"flat": 1}, round-5 cross-layer
+    pipelining lever) is bit-identical to the (L, T) grid on both the
+    float and int8 stacks — same schedule, same bodies, divmod indices."""
+    from vit_tpu.ops.pallas.block import encoder_stack, encoder_stack_q
+    from vit_tpu.quant import quantize_weight
+
+    rng = np.random.default_rng(17)
+    b, s, d, heads, seq_len = 2, 16, 128, 2, 13
+    enc = _stack_inputs(rng)
+    mlp = enc["fc1"]["kernel"].shape[2]
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    x = x.at[:, seq_len:].set(0)
+    monkeypatch.setenv("VIT_TPU_STACK_PLAN", f"{d},{mlp},0")
+    base = encoder_stack(x, enc, num_heads=heads, seq_len=seq_len,
+                         interpret=True)
+    monkeypatch.setenv("VIT_TPU_STACK_PLAN", f"{d},{mlp},1")
+    flat = encoder_stack(x, enc, num_heads=heads, seq_len=seq_len,
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(flat))
+
+    qenc = {k: (dict(v, kernel=quantize_weight(v["kernel"]))
+                if "kernel" in v else v) for k, v in enc.items()}
+    monkeypatch.setenv("VIT_TPU_STACK_PLAN", f"{d},{mlp},0")
+    qbase = encoder_stack_q(x, qenc, num_heads=heads, seq_len=seq_len,
+                            interpret=True)
+    monkeypatch.setenv("VIT_TPU_STACK_PLAN", f"{d},{mlp},1")
+    qflat = encoder_stack_q(x, qenc, num_heads=heads, seq_len=seq_len,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(qbase), np.asarray(qflat))
+
+
 def test_encoder_stack_grads_match_xla():
     rng = np.random.default_rng(7)
     b, s, d, heads = 1, 8, 128, 1

@@ -109,7 +109,7 @@ def _force_string(op: str, entry: dict) -> str | None:
     if op in ("encstack", "encstackq"):
         if entry.get("route") == "layers":
             return None  # route decision, nothing to force-time
-        return f"{entry['cq']},{entry['mt']}"
+        return f"{entry['cq']},{entry['mt']},{int(bool(entry.get('flat')))}"
     return None
 
 

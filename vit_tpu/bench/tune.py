@@ -416,21 +416,26 @@ def sweep_encstack(b: int, sp: int, cfg: ViTConfig, dtype):
     rows = []
     for cq in (d, d // 2, 3 * d):
         for mt in (1536, 1024, 768, 512):
-            os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
-            it = jnp.dtype(dtype).itemsize
-            if encoder_stack_plan(b, sp, d, mlp, nh, it) is None:
-                os.environ.pop("VIT_TPU_STACK_PLAN", None)
-                continue
-            try:
-                ms = _bench(step, (x, enc))
-            except Exception as e:  # noqa: BLE001
-                log(f"  encstack ({cq},{mt}) FAIL: {str(e)[:80]}")
-                continue
-            finally:
-                os.environ.pop("VIT_TPU_STACK_PLAN", None)
-            rows.append({"cq": cq, "mt": mt, "ms": ms})
-            log(f"  encstack ({cq},{mt}) {ms:.4f} ms "
-                f"({ms / L * 1e3:.1f} us/layer)")
+            # flat=1 runs the same schedule on a 1-D (L*T,) grid — lets
+            # Mosaic pipeline weight windows across the layer boundary
+            # (round-5 probe: -9.5% on the b=1 core body).
+            for flat in (0, 1):
+                os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt},{flat}"
+                it = jnp.dtype(dtype).itemsize
+                if encoder_stack_plan(b, sp, d, mlp, nh, it) is None:
+                    os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                    continue
+                try:
+                    ms = _bench(step, (x, enc))
+                except Exception as e:  # noqa: BLE001
+                    log(f"  encstack ({cq},{mt},{flat}) FAIL: "
+                        f"{str(e)[:80]}")
+                    continue
+                finally:
+                    os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                rows.append({"cq": cq, "mt": mt, "flat": flat, "ms": ms})
+                log(f"  encstack ({cq},{mt},{flat}) {ms:.4f} ms "
+                    f"({ms / L * 1e3:.1f} us/layer)")
     return rows
 
 
@@ -494,23 +499,27 @@ def sweep_encstackq(b: int, sp: int, cfg: ViTConfig, dtype):
     # Wider grid than the float stack sweep (round-5): the 1-byte weight
     # windows admit (cq, mt) pairs the float footprint vetoes — including
     # the asymmetric big-mt forms — and the int8 winner has differed from
-    # the float one at every geometry measured so far.
+    # the float one at every geometry measured so far. flat=1 additionally
+    # tries the 1-D (L*T,) grid (cross-layer window pipelining).
     for cq in (d // 2, d, 3 * d):
         for mt in (2048, 1536, 1024, 768, 512):
-            os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt}"
-            ok = encoder_stack_plan_q(b, sp, d, mlp, nh, it) is not None
-            if not ok:
-                os.environ.pop("VIT_TPU_STACK_PLAN", None)
-                continue
-            try:
-                ms = _bench(stack_step, (x, qenc))
-            except Exception as e:  # noqa: BLE001
-                log(f"  encstackq ({cq},{mt}) FAIL: {str(e)[:80]}")
-                continue
-            finally:
-                os.environ.pop("VIT_TPU_STACK_PLAN", None)
-            rows.append({"route": "stack", "cq": cq, "mt": mt, "ms": ms})
-            log(f"  encstackq stack ({cq},{mt}) {ms:.4f} ms")
+            for flat in (0, 1):
+                os.environ["VIT_TPU_STACK_PLAN"] = f"{cq},{mt},{flat}"
+                ok = encoder_stack_plan_q(b, sp, d, mlp, nh, it) is not None
+                if not ok:
+                    os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                    continue
+                try:
+                    ms = _bench(stack_step, (x, qenc))
+                except Exception as e:  # noqa: BLE001
+                    log(f"  encstackq ({cq},{mt},{flat}) FAIL: "
+                        f"{str(e)[:80]}")
+                    continue
+                finally:
+                    os.environ.pop("VIT_TPU_STACK_PLAN", None)
+                rows.append({"route": "stack", "cq": cq, "mt": mt,
+                             "flat": flat, "ms": ms})
+                log(f"  encstackq stack ({cq},{mt},{flat}) {ms:.4f} ms")
     for i8dot in (True, False):
         try:
             ms = _bench(make_layers_step(i8dot), (x, qenc))
@@ -540,7 +549,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--op", default="all",
                     choices=["matmul", "flash", "block", "layer", "quant",
-                             "all"])
+                             "encstack", "encstackq", "all"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batches", type=int, nargs="*", default=[32],
@@ -620,14 +629,16 @@ def main():
                 log(f"  -> winner group={best['group']} "
                     f"{best['tflops']:.1f} TF/s")
 
-    if args.op in ("block", "layer", "all"):
+    if args.op in ("block", "layer", "encstack", "all"):
         sp = round_up(cfg.seq_len, 16)
         d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+        sweep_halves = args.op not in ("layer", "encstack")
         for b in args.batches:
             m = b * sp
             layer_ms = 0.0  # best per-layer (mlp+attn) time, encstack's bar
-            if args.op == "layer":
-                # Layer-only re-sweep: the bar is the recorded pair times.
+            if not sweep_halves:
+                # Layer/encstack-only re-sweep: the bar is the recorded
+                # pair times.
                 for op_, dims in (("mlpblock", (m, d, mlp)),
                                   ("attnblock", (b, sp, d, nh))):
                     hit = tuning.lookup(op_, dtype, dims)
@@ -636,7 +647,7 @@ def main():
                     else:
                         layer_ms = 0.0
                         break
-            if args.op != "layer":
+            if sweep_halves:
                 log(f"[mlpblock {args.dtype}] m={m} d={d} mlp={mlp}")
                 rows = sweep_mlpblock(b, sp, cfg, dtype)
             else:
@@ -654,7 +665,7 @@ def main():
                     {"op": "mlpblock", "shape": [m, d, mlp], "rows": rows})
                 log(f"  -> winner ({best['bm']},{best['nt']},{best['ct']}) "
                     f"{best['tflops']:.1f} TF/s")
-            if args.op != "layer":
+            if sweep_halves:
                 log(f"[attnblock {args.dtype}] b={b} sp={sp} d={d}")
                 rows = sweep_attnblock(b, sp, cfg, dtype)
             else:
@@ -671,8 +682,12 @@ def main():
                 sweep_log["sweeps"].append(
                     {"op": "attnblock", "shape": [b, sp, d, nh], "rows": rows})
                 log(f"  -> winner {best['cand']}")
-            log(f"[layerblock {args.dtype}] b={b} sp={sp} d={d} mlp={mlp}")
-            rows = sweep_layerblock(b, sp, cfg, dtype)
+            if args.op == "encstack":
+                rows = []
+            else:
+                log(f"[layerblock {args.dtype}] b={b} sp={sp} d={d} "
+                    f"mlp={mlp}")
+                rows = sweep_layerblock(b, sp, cfg, dtype)
             if rows:
                 best = min(rows, key=lambda r: r["ms"])
                 sweep_log["sweeps"].append(
@@ -695,7 +710,7 @@ def main():
                     log(f"  -> winner ({best['group']},{best['ct']}) "
                         f"{best['tflops']:.1f} TF/s beats pair "
                         f"{layer_ms:.4f} ms")
-            if b <= 4 and args.op != "layer":
+            if b <= 4 and args.op in ("block", "encstack", "all"):
                 # b=3/4 sweeps exist to bisect the Mosaic scheduling cliff
                 # that gates encoder_stack_plan to b<=2 (PERF.md §3): every
                 # candidate (cq, mt) is measured, and an entry records ONLY
@@ -718,24 +733,32 @@ def main():
                             f"{best['ms']:.4f} ms LOSES to per-layer "
                             f"{bar:.4f} ms — not recorded")
                     else:
+                        val = {"cq": best["cq"], "mt": best["mt"]}
+                        if best.get("flat"):
+                            val["flat"] = 1
                         tuning.record("encstack", dtype, (b, sp, d, mlp, nh),
-                                      {"cq": best["cq"], "mt": best["mt"]},
+                                      val,
                                       extra={"ms": round(best["ms"], 6),
                                              "shape": f"bs{b} v5e"})
-                        log(f"  -> winner ({best['cq']},{best['mt']})")
+                        log(f"  -> winner ({best['cq']},{best['mt']},"
+                            f"flat={best.get('flat', 0)})")
 
-    if args.op == "quant":
+    if args.op in ("quant", "encstackq"):
         # Int8-kernel plans: same candidate grids as the float block
         # sweep, but timed on the int8 kernels and recorded under their
         # own keys (mlpblocki8 / attnqblock) — consulted by
         # mlp_block_plan_i8 / attn_block_q_plan ahead of the shared
-        # float winners.
+        # float winners. --op encstackq skips straight to the
+        # stack-vs-layers route sweep (the per-layer int8 entries stay).
         sp = round_up(cfg.seq_len, 16)
         d, mlp, nh = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
         for b in args.batches:
             m = b * sp
-            log(f"[mlpblocki8 {args.dtype}] m={m} d={d} mlp={mlp}")
-            rows = sweep_mlpblock(b, sp, cfg, dtype, quant=True)
+            if args.op == "encstackq":
+                rows = []
+            else:
+                log(f"[mlpblocki8 {args.dtype}] m={m} d={d} mlp={mlp}")
+                rows = sweep_mlpblock(b, sp, cfg, dtype, quant=True)
             if rows:
                 best = min(rows, key=lambda r: r["ms"])
                 tuning.record(
@@ -748,8 +771,11 @@ def main():
                     {"op": "mlpblocki8", "shape": [m, d, mlp], "rows": rows})
                 log(f"  -> winner ({best['bm']},{best['nt']},{best['ct']}) "
                     f"{best['tflops']:.1f} TF/s")
-            log(f"[attnqblock {args.dtype}] b={b} sp={sp} d={d}")
-            rows = sweep_attnqblock(b, sp, cfg, dtype)
+            if args.op == "encstackq":
+                rows = []
+            else:
+                log(f"[attnqblock {args.dtype}] b={b} sp={sp} d={d}")
+                rows = sweep_attnqblock(b, sp, cfg, dtype)
             if rows:
                 best = min(rows, key=lambda r: r["ms"])
                 tuning.record("attnqblock", dtype, (b, sp, d, nh),
@@ -777,12 +803,15 @@ def main():
                         log(f"  -> winner: per-layer stacked int8 "
                             f"(i8dot={best['i8dot']}) {best['ms']:.4f} ms")
                     else:
+                        val = {"cq": best["cq"], "mt": best["mt"]}
+                        if best.get("flat"):
+                            val["flat"] = 1
                         tuning.record("encstackq", dtype,
                                       (b, sp, d, mlp, nh),
-                                      {"cq": best["cq"], "mt": best["mt"]},
-                                      extra=meta)
+                                      val, extra=meta)
                         log(f"  -> winner: stack ({best['cq']},"
-                            f"{best['mt']}) {best['ms']:.4f} ms")
+                            f"{best['mt']},flat={best.get('flat', 0)}) "
+                            f"{best['ms']:.4f} ms")
                     sweep_log["sweeps"].append(
                         {"op": "encstackq", "shape": [b, sp, d, mlp, nh],
                          "rows": rows})

@@ -1838,7 +1838,8 @@ def _encoder_stack_kernel(*refs, eps: float, d: int,
                           sp: int, num_heads: int, head_dim: int,
                           scale: float, seq_len: int, b: int, nq: int,
                           cq: int, nt: int, num_layers: int, precision,
-                          n_tok: int = 0, fold_ln: bool = False):
+                          n_tok: int = 0, fold_ln: bool = False,
+                          flat: bool = False):
     """The WHOLE pre-LN encoder in one kernel: grid (L, nq + b + nt).
 
     Sub-step schedule per layer l:
@@ -1864,6 +1865,13 @@ def _encoder_stack_kernel(*refs, eps: float, d: int,
     embedding disappear. ``fold_ln`` appends (gf, bf) after the encoder
     weights and applies the model's FINAL LayerNorm to the last step's
     write, removing the tail kernel the same way.
+
+    ``flat`` runs the same schedule on a 1-D grid (L * T,) with l/t
+    derived by divmod — removing the layer boundary from the grid lets
+    Mosaic pipeline the weight-window stream across layers (round-5
+    probe: core body 27.5 -> 24.9 us/layer at b=1 B/16). Opt-in per
+    tuned plan (``{"flat": 1}``), measurement-gated like every other
+    stack decision.
     """
     if n_tok:
         p_ref, we_ref, base_ref, *refs = refs
@@ -1874,8 +1882,13 @@ def _encoder_stack_kernel(*refs, eps: float, d: int,
     if fold_ln:
         gf_ref, bf_ref, *refs = refs
     o_ref, xcur_ref, qkv_ref, acc_ref = refs
-    l = pl.program_id(0)
-    t = pl.program_id(1)
+    if flat:
+        i = pl.program_id(0)
+        T = nq + b + nt
+        l, t = i // T, i % T
+    else:
+        l = pl.program_id(0)
+        t = pl.program_id(1)
     f32 = jnp.float32
 
     def ln(rows, g_ref, b_ref, x32=None):
@@ -1987,6 +2000,17 @@ def _encoder_stack_kernel(*refs, eps: float, d: int,
                         o_ref[:] = xcur_ref[:]
 
 
+def _stack_grid(L: int, T: int, flat: bool):
+    """(grid, index-map lifter) for the encoder-stack kernels: the default
+    (L, T) grid, or the 1-D flat grid (L*T,) whose index maps derive
+    (l, t) by divmod (see ``_encoder_stack_kernel``'s ``flat``)."""
+    if flat:
+        def ix(fn):
+            return lambda i: fn(i // T, i % T)
+        return (L * T,), ix
+    return (L, T), (lambda fn: fn)
+
+
 def _stack_feasible(b: int, sp: int, d: int, mlp: int, itemsize: int,
                     cq: int, mt: int, budget: int, extra: int = 0,
                     w_itemsize: int | None = None):
@@ -2040,14 +2064,20 @@ def encoder_stack_plan(b: int, sp: int, d: int, mlp: int, num_heads: int,
 
     env = os.environ.get("VIT_TPU_STACK_PLAN")
     if env:
-        cq, mt = map(int, env.split(","))
-        return feasible(cq, mt)
+        # "cq,mt" or "cq,mt,flat" (flat=1 -> 1-D grid, _stack_grid).
+        parts = [int(v) for v in env.split(",")]
+        plan = feasible(parts[0], parts[1])
+        if plan is not None and len(parts) > 2 and parts[2]:
+            plan["flat"] = 1
+        return plan
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     hit = tuning.lookup("encstack", dtype, (b, sp, d, mlp, num_heads))
     if hit is not None:
         plan = feasible(int(hit["cq"]), int(hit["mt"]))
         if plan is not None:
+            if hit.get("flat"):
+                plan["flat"] = 1
             return plan
     from vit_tpu.ops.dispatch import interpret_mode
     if ((b > 2 or itemsize != 2 or (d, mlp) != (768, 3072))
@@ -2111,10 +2141,13 @@ def encoder_stack_plan_q(b: int, sp: int, d: int, mlp: int, num_heads: int,
         # Explicit force (tune.py's candidate sweep): gate on the REAL
         # int8 footprint — the float model's full-width weight windows
         # would veto plans the 1-byte tiles comfortably fit (the L/16
-        # geometry's entire candidate set, round-4).
-        cq, mt = map(int, env.split(","))
-        return _stack_feasible(b, sp, d, mlp, itemsize, cq, mt, budget,
-                               w_itemsize=1)
+        # geometry's entire candidate set, round-4). "cq,mt[,flat]".
+        parts = [int(v) for v in env.split(",")]
+        plan = _stack_feasible(b, sp, d, mlp, itemsize, parts[0], parts[1],
+                               budget, w_itemsize=1)
+        if plan is not None and len(parts) > 2 and parts[2]:
+            plan["flat"] = 1
+        return plan
     from vit_tpu.ops.pallas import tuning
     dtype = {2: jnp.bfloat16, 4: jnp.float32}.get(itemsize, jnp.float32)
     hit = tuning.lookup("encstackq", dtype, (b, sp, d, mlp, num_heads))
@@ -2125,6 +2158,8 @@ def encoder_stack_plan_q(b: int, sp: int, d: int, mlp: int, num_heads: int,
                                int(hit["cq"]), int(hit["mt"]), budget,
                                w_itemsize=1)
         if plan is not None:
+            if hit.get("flat"):
+                plan["flat"] = 1
             return plan
     return encoder_stack_plan(b, sp, d, mlp, num_heads, itemsize, budget)
 
@@ -2150,42 +2185,48 @@ def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
     plan = encoder_stack_plan(b, sp, d, mlp, num_heads, x.dtype.itemsize)
     assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
     cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    flat = bool(plan.get("flat"))
     m = b * sp
     T = nq + b + nt
+    grid, ix = _stack_grid(L, T, flat)
 
     kernel = functools.partial(
         _encoder_stack_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
         head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
-        nt=nt, num_layers=L, precision=_dot_precision(x.dtype))
+        nt=nt, num_layers=L, precision=_dot_precision(x.dtype), flat=flat)
 
-    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
-    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+    full = pl.BlockSpec((m, d), ix(lambda l, t: (0, 0)),
+                        memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), ix(lambda l, t: (l, 0, 0)),
                                   memory_space=pltpu.VMEM)
     last_q, last_m = nq - 1, nt - 1
     out = pl.pallas_call(
         kernel,
-        grid=(L, T),
+        grid=grid,
         in_specs=[
             full,                                               # x
             lvec(d), lvec(d),                                   # ln1
             pl.BlockSpec((1, d, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),              # wqkv tile
             pl.BlockSpec((1, 1, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),              # bqkv tile
-            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((1, d, d), ix(lambda l, t: (l, 0, 0)),
                          memory_space=pltpu.VMEM),              # wout
             lvec(d),                                            # bout
             lvec(d), lvec(d),                                   # ln2
             pl.BlockSpec((1, d, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),              # w1 tile
             pl.BlockSpec((1, 1, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),              # b1 tile
             pl.BlockSpec((1, mt, d),
-                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         ix(lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m),
+                                          0)),
                          memory_space=pltpu.VMEM),              # w2 tile
             lvec(d),                                            # b2
         ],
@@ -2197,7 +2238,7 @@ def encoder_stack(x: jax.Array, enc: dict, *, num_heads: int,
             pltpu.VMEM((m, d), jnp.float32),   # mlp accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
             # Probe knob for the b>=3 scheduling-collapse bisect
             # (tools/encstack_probe.py); 28 MB is the measured-safe default.
             vmem_limit_bytes=int(os.environ.get(
@@ -2269,50 +2310,56 @@ def encoder_stack_fused(patches: jax.Array, enc: dict, wemb: jax.Array,
                               patches.dtype.itemsize, extra=extra)
     assert plan is not None, (b, sp, d, mlp, num_heads, patches.dtype)
     cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    flat = bool(plan.get("flat"))
     m = b * sp
     T = nq + b + nt
+    grid, ix = _stack_grid(L, T, flat)
 
     kernel = functools.partial(
         _encoder_stack_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
         head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
         nt=nt, num_layers=L, precision=_dot_precision(patches.dtype),
-        n_tok=n_tok, fold_ln=True)
+        n_tok=n_tok, fold_ln=True, flat=flat)
 
-    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
-    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+    full = pl.BlockSpec((m, d), ix(lambda l, t: (0, 0)),
+                        memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), ix(lambda l, t: (l, 0, 0)),
                                   memory_space=pltpu.VMEM)
-    cvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (0, 0, 0),
+    cvec = lambda n: pl.BlockSpec((1, 1, n), ix(lambda l, t: (0, 0, 0)),
                                   memory_space=pltpu.VMEM)
     last_q, last_m = nq - 1, nt - 1
     out = pl.pallas_call(
         kernel,
-        grid=(L, T),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((b * n_tok, pdp), lambda l, t: (0, 0),
+            pl.BlockSpec((b * n_tok, pdp), ix(lambda l, t: (0, 0)),
                          memory_space=pltpu.VMEM),          # patches
-            pl.BlockSpec((pdp, d), lambda l, t: (0, 0),
+            pl.BlockSpec((pdp, d), ix(lambda l, t: (0, 0)),
                          memory_space=pltpu.VMEM),          # wemb
-            pl.BlockSpec((sp, d), lambda l, t: (0, 0),
+            pl.BlockSpec((sp, d), ix(lambda l, t: (0, 0)),
                          memory_space=pltpu.VMEM),          # base rows
             lvec(d), lvec(d),                               # ln1
             pl.BlockSpec((1, d, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),          # wqkv tile
             pl.BlockSpec((1, 1, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),          # bqkv tile
-            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((1, d, d), ix(lambda l, t: (l, 0, 0)),
                          memory_space=pltpu.VMEM),          # wout
             lvec(d),                                        # bout
             lvec(d), lvec(d),                               # ln2
             pl.BlockSpec((1, d, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),          # w1 tile
             pl.BlockSpec((1, 1, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),          # b1 tile
             pl.BlockSpec((1, mt, d),
-                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         ix(lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m),
+                                          0)),
                          memory_space=pltpu.VMEM),          # w2 tile
             lvec(d),                                        # b2
             cvec(d), cvec(d),                               # final LN
@@ -2325,7 +2372,7 @@ def encoder_stack_fused(patches: jax.Array, enc: dict, wemb: jax.Array,
             pltpu.VMEM((m, d), jnp.float32),     # mlp accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=int(os.environ.get(
                 "VIT_TPU_STACK_VMEM_MB", "28")) * 2**20),
         cost_estimate=pl.CostEstimate(
@@ -2357,16 +2404,22 @@ def _encoder_stack_q_kernel(x_ref, g1_ref, bn1_ref, wqkv_ref, sqkv_ref,
                             eps: float, d: int, sp: int, num_heads: int,
                             head_dim: int, scale: float, seq_len: int,
                             b: int, nq: int, cq: int, nt: int,
-                            num_layers: int, precision):
+                            num_layers: int, precision,
+                            flat: bool = False):
     """:func:`_encoder_stack_kernel` with int8 weight tiles (weight-only
     quantization, vit_tpu/quant.py layout): every streamed weight arrives
     as int8 — HALF the bf16 weight traffic that sets the small-batch
     latency floor (docs/PERF.md §3) — is cast to the compute dtype
     on-core, and its fp32 per-output-channel scale is applied after the
     dot. Activations stay float; schedule and residency identical to the
-    float kernel."""
-    l = pl.program_id(0)
-    t = pl.program_id(1)
+    float kernel (incl. the opt-in ``flat`` 1-D grid)."""
+    if flat:
+        i = pl.program_id(0)
+        T = nq + b + nt
+        l, t = i // T, i % T
+    else:
+        l = pl.program_id(0)
+        t = pl.program_id(1)
     f32 = jnp.float32
 
     def ln(rows, g_ref, b_ref):
@@ -2481,47 +2534,52 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
     plan = encoder_stack_plan_q(b, sp, d, mlp, num_heads, x.dtype.itemsize)
     assert plan is not None, (b, sp, d, mlp, num_heads, x.dtype)
     cq, nq, mt, nt = plan["cq"], plan["nq"], plan["mt"], plan["nt"]
+    flat = bool(plan.get("flat"))
     m = b * sp
     T = nq + b + nt
+    grid, ix = _stack_grid(L, T, flat)
 
     kernel = functools.partial(
         _encoder_stack_q_kernel, eps=eps, d=d, sp=sp, num_heads=num_heads,
         head_dim=hd, scale=scale, seq_len=seq_len, b=b, nq=nq, cq=cq,
-        nt=nt, num_layers=L, precision=_dot_precision(x.dtype))
+        nt=nt, num_layers=L, precision=_dot_precision(x.dtype), flat=flat)
 
-    full = pl.BlockSpec((m, d), lambda l, t: (0, 0), memory_space=pltpu.VMEM)
-    lvec = lambda n: pl.BlockSpec((1, 1, n), lambda l, t: (l, 0, 0),
+    full = pl.BlockSpec((m, d), ix(lambda l, t: (0, 0)),
+                        memory_space=pltpu.VMEM)
+    lvec = lambda n: pl.BlockSpec((1, 1, n), ix(lambda l, t: (l, 0, 0)),
                                   memory_space=pltpu.VMEM)
     last_q, last_m = nq - 1, nt - 1
     qtile = lambda n: pl.BlockSpec(
-        (1, 1, n), lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+        (1, 1, n), ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
         memory_space=pltpu.VMEM)
     mtile = lambda n: pl.BlockSpec(
-        (1, 1, n), lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+        (1, 1, n), ix(lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m))),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(L, T),
+        grid=grid,
         in_specs=[
             full,                                               # x
             lvec(d), lvec(d),                                   # ln1
             pl.BlockSpec((1, d, cq),
-                         lambda l, t: (l, 0, jnp.minimum(t, last_q)),
+                         ix(lambda l, t: (l, 0, jnp.minimum(t, last_q))),
                          memory_space=pltpu.VMEM),              # wqkv int8
             qtile(cq),                                          # sqkv tile
             qtile(cq),                                          # bqkv tile
-            pl.BlockSpec((1, d, d), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((1, d, d), ix(lambda l, t: (l, 0, 0)),
                          memory_space=pltpu.VMEM),              # wout int8
             lvec(d),                                            # sout
             lvec(d),                                            # bout
             lvec(d), lvec(d),                                   # ln2
             pl.BlockSpec((1, d, mt),
-                         lambda l, t: (l, 0, jnp.clip(t - nq - b, 0, last_m)),
+                         ix(lambda l, t: (l, 0,
+                                          jnp.clip(t - nq - b, 0, last_m))),
                          memory_space=pltpu.VMEM),              # w1 int8
             mtile(mt),                                          # s1 tile
             mtile(mt),                                          # b1 tile
             pl.BlockSpec((1, mt, d),
-                         lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m), 0),
+                         ix(lambda l, t: (l, jnp.clip(t - nq - b, 0, last_m),
+                                          0)),
                          memory_space=pltpu.VMEM),              # w2 int8
             lvec(d),                                            # s2
             lvec(d),                                            # b2
@@ -2534,7 +2592,7 @@ def encoder_stack_q(x: jax.Array, qenc: dict, *, num_heads: int,
             pltpu.VMEM((m, d), jnp.float32),   # mlp accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
             # Probe knob for the b>=3 scheduling-collapse bisect
             # (tools/encstack_probe.py); 28 MB is the measured-safe default.
             vmem_limit_bytes=int(os.environ.get(
