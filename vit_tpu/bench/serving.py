@@ -246,21 +246,21 @@ def main_mesh(args, argv):
     """The mixed trace through the mesh plan-executor path, with measured
     dispatches-per-request (the ``dryrun_multichip`` "multi-bucket
     1-dispatch" coverage item, now in the artifact)."""
-    import subprocess
-
     data, model = map(int, args.mesh.lower().split("x"))
     need = data * model
     if jax.device_count() < need:
-        # Off-TPU (or too few chips): re-exec onto virtual CPU devices —
-        # the exact environment the mesh test suite runs in.
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            f" --xla_force_host_platform_device_count={need}")
-        cmd = [sys.executable, "-m", "vit_tpu.bench.serving"] + \
-            (list(argv) if argv is not None else sys.argv[1:])
-        log(f"re-exec on {need} virtual CPU devices for mesh {args.mesh}")
-        raise SystemExit(subprocess.call(cmd, env=env))
+        # Off-TPU (or too few chips): switch this process onto `need`
+        # virtual CPU devices — the exact environment the mesh test suite
+        # runs in. In-process (clear_backends + jax_num_cpu_devices), not
+        # via env re-exec: this container's sitecustomize pins the axon
+        # TPU platform regardless of JAX_PLATFORMS in the environment
+        # (same technique as __graft_entry__.dryrun_multichip).
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+        jax.config.update("jax_num_cpu_devices", need)
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.device_count() >= need, jax.devices()
+        log(f"switched to {need} virtual CPU devices for mesh {args.mesh}")
 
     from vit_tpu.parallel import make_mesh
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
