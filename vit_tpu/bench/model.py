@@ -184,6 +184,11 @@ def main():
         # Impl-suffixed so the xla and pallas quant tiers keep separate
         # artifacts (benchmarks/model_int8_xla vs model_int8_pallas).
         name = f"{name}_int8" + (f"_{args.impl}" if args.impl else "")
+    elif args.impl == "xla":
+        # The un-suffixed artifact is the PRODUCTION (pallas) tier; an
+        # explicit --impl xla run must not overwrite it (the drift gate
+        # would re-measure each row and still publish the slower tier).
+        name = f"{name}_xla"
 
     committed = read_committed(name)
     batches = args.batches
